@@ -1,0 +1,138 @@
+"""Core KDLAE building blocks as flax.linen modules (NHWC).
+
+Each block reproduces the reference math exactly (citations inline) but is
+laid out TPU-first: NHWC tensors, channel LayerNorm as a lane-axis
+reduction, MDTA as two large batched matmuls, and all 1x1 convs as plain
+channel contractions that XLA maps straight onto the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+from jax.nn import gelu
+
+from ..ops.attention import mdta_attention
+from ..ops.layout import pixel_shuffle, pixel_unshuffle
+from ..ops.norm import channel_layernorm
+
+Dtype = Any
+
+
+class ChannelLayerNorm(nn.Module):
+    """LayerNorm over NHWC channels (reference KDLAE/KDLAE_model.py:32-83)."""
+
+    dim: int
+    bias_free: bool = False  # 'BiasFree' vs 'WithBias' LayerNorm_type
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        weight = self.param("weight", nn.initializers.ones, (self.dim,))
+        bias = None
+        if not self.bias_free:
+            bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        return channel_layernorm(x, weight, bias)
+
+
+class GDFN(nn.Module):
+    """Gated-Dconv feed-forward network (KDLAE/KDLAE_model.py:89-106).
+
+    1x1 conv -> 2*hidden, 3x3 depthwise, split, gelu(x1)*x2, 1x1 conv back.
+    torch uses exact (erf) GELU, so ``approximate=False``.
+    """
+
+    dim: int
+    expansion_factor: float = 2.66
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        hidden = int(self.dim * self.expansion_factor)
+        x = nn.Conv(hidden * 2, (1, 1), use_bias=self.use_bias, name="project_in")(x)
+        x = nn.Conv(
+            hidden * 2, (3, 3), padding=1, feature_group_count=hidden * 2,
+            use_bias=self.use_bias, name="dwconv",
+        )(x)
+        x1, x2 = jnp.split(x, 2, axis=-1)
+        x = gelu(x1, approximate=False) * x2
+        return nn.Conv(self.dim, (1, 1), use_bias=self.use_bias, name="project_out")(x)
+
+
+class MDTA(nn.Module):
+    """Multi-DConv-head transposed attention (KDLAE/KDLAE_model.py:112-145)."""
+
+    dim: int
+    num_heads: int
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        temperature = self.param(
+            "temperature", nn.initializers.ones, (self.num_heads, 1, 1)
+        )
+        qkv = nn.Conv(self.dim * 3, (1, 1), use_bias=self.use_bias, name="qkv")(x)
+        qkv = nn.Conv(
+            self.dim * 3, (3, 3), padding=1, feature_group_count=self.dim * 3,
+            use_bias=self.use_bias, name="qkv_dwconv",
+        )(qkv)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        out = mdta_attention(q, k, v, temperature, self.num_heads)
+        return nn.Conv(self.dim, (1, 1), use_bias=self.use_bias, name="project_out")(out)
+
+
+class TransformerBlock(nn.Module):
+    """Pre-norm residual LN->MDTA, LN->GDFN (KDLAE/KDLAE_model.py:150-163)."""
+
+    dim: int
+    num_heads: int
+    ffn_expansion_factor: float = 2.66
+    use_bias: bool = False
+    bias_free_ln: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = x + MDTA(self.dim, self.num_heads, self.use_bias, name="attn")(
+            ChannelLayerNorm(self.dim, self.bias_free_ln, name="norm1")(x)
+        )
+        x = x + GDFN(self.dim, self.ffn_expansion_factor, self.use_bias, name="ffn")(
+            ChannelLayerNorm(self.dim, self.bias_free_ln, name="norm2")(x)
+        )
+        return x
+
+
+class OverlapPatchEmbed(nn.Module):
+    """3x3 conv patch embed (KDLAE/KDLAE_model.py:169-178)."""
+
+    embed_dim: int = 48
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return nn.Conv(self.embed_dim, (3, 3), padding=1, use_bias=self.use_bias,
+                       name="proj")(x)
+
+
+class Downsample(nn.Module):
+    """3x3 conv C->C/2 then PixelUnshuffle(2): net C->2C, H/2
+    (KDLAE/KDLAE_model.py:182-190)."""
+
+    n_feat: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Conv(self.n_feat // 2, (3, 3), padding=1, use_bias=False, name="conv")(x)
+        return pixel_unshuffle(x, 2)
+
+
+class Upsample(nn.Module):
+    """3x3 conv C->2C then PixelShuffle(2): net C->C/2, 2H
+    (KDLAE/KDLAE_model.py:192-200)."""
+
+    n_feat: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Conv(self.n_feat * 2, (3, 3), padding=1, use_bias=False, name="conv")(x)
+        return pixel_shuffle(x, 2)
