@@ -1,0 +1,94 @@
+"""Metric parity: PSNR vs the closed form; SSIM-3D vs a direct torch Conv3d
+replication of the reference's CUDA-only implementation (psnr_ssim.py:146-197)
+run on CPU."""
+
+import numpy as np
+import pytest
+
+from rethink_acoustic_image_enhancement_tpu.metrics import (
+    calculate_psnr,
+    calculate_ssim,
+    calculate_ssim_2d,
+)
+
+
+def _pair(shape=(37, 53, 3), seed=0, scale=1.0):
+    rng = np.random.default_rng(seed)
+    a = (rng.uniform(size=shape) * scale).astype(np.float32)
+    b = np.clip(a + rng.normal(scale=0.05 * scale, size=shape), 0, scale).astype(np.float32)
+    return a, b
+
+
+def test_psnr_closed_form():
+    a, b = _pair()
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    expected = 20 * np.log10(1.0 / np.sqrt(mse))
+    assert abs(calculate_psnr(a, b) - expected) < 1e-3
+
+
+def test_psnr_identical_inf():
+    a, _ = _pair()
+    assert calculate_psnr(a, a) == float("inf")
+
+
+def test_psnr_crop_border_and_255_range():
+    a, b = _pair(scale=255.0, seed=1)
+    c = 4
+    ac, bc = a[c:-c, c:-c].astype(np.float64), b[c:-c, c:-c].astype(np.float64)
+    expected = 20 * np.log10(255.0 / np.sqrt(np.mean((ac - bc) ** 2)))
+    assert abs(calculate_psnr(a, b, crop_border=c) - expected) < 1e-3
+
+
+def _gauss1d(size=11, sigma=1.5):
+    x = np.arange(size) - (size - 1) / 2
+    g = np.exp(-(x ** 2) / (2 * sigma ** 2))
+    return g / g.sum()
+
+
+def _ref_ssim3d_torch(img1, img2, max_value):
+    """The reference _ssim_3d (psnr_ssim.py:150-197) without the .cuda()."""
+    torch = pytest.importorskip("torch")
+    g = _gauss1d()
+    window = np.outer(g, g)
+    kernel = np.stack([window * k for k in g], axis=0)
+    conv = torch.nn.Conv3d(1, 1, (11, 11, 11), stride=1, padding=(5, 5, 5),
+                           bias=False, padding_mode="replicate")
+    with torch.no_grad():
+        conv.weight[0, 0] = torch.tensor(kernel)
+        c1 = (0.01 * max_value) ** 2
+        c2 = (0.03 * max_value) ** 2
+        t1 = torch.tensor(img1).float()
+        t2 = torch.tensor(img2).float()
+
+        def f(x):
+            return conv(x.unsqueeze(0).unsqueeze(0)).squeeze(0).squeeze(0)
+
+        mu1, mu2 = f(t1), f(t2)
+        s1 = f(t1 * t1) - mu1 ** 2
+        s2 = f(t2 * t2) - mu2 ** 2
+        s12 = f(t1 * t2) - mu1 * mu2
+        ssim_map = ((2 * mu1 * mu2 + c1) * (2 * s12 + c2)) / (
+            (mu1 ** 2 + mu2 ** 2 + c1) * (s1 + s2 + c2))
+        return float(ssim_map.mean())
+
+
+def test_ssim3d_matches_reference_formula():
+    a, b = _pair(shape=(24, 30, 3), seed=2)
+    expected = _ref_ssim3d_torch(a, b, 1.0)
+    got = calculate_ssim(a, b)
+    assert abs(got - expected) < 1e-4
+
+
+def test_ssim_identical_is_one():
+    a, _ = _pair(shape=(24, 24, 3), seed=3)
+    assert abs(calculate_ssim(a, a) - 1.0) < 1e-5
+    assert abs(calculate_ssim_2d(a * 255, a * 255) - 1.0) < 1e-5
+
+
+def test_ssim2d_reasonable_ordering():
+    a, b = _pair(shape=(32, 32, 3), seed=4, scale=255.0)
+    noisier = np.clip(a + np.random.default_rng(5).normal(scale=25, size=a.shape),
+                      0, 255).astype(np.float32)
+    s_close = calculate_ssim_2d(a, b)
+    s_far = calculate_ssim_2d(a, noisier)
+    assert s_far < s_close <= 1.0
