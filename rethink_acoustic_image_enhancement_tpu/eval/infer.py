@@ -1,0 +1,169 @@
+"""Inference predictors — the reference notebooks' serving path as an API.
+
+TeacherPredictor  = KDLAE_T.ipynb cell 5: reflect-pad to multiple of 8,
+                    denoise-rate plane, forward, clamp, crop hq/sr, ubyte,
+                    fan-beam zero-mask.
+StudentPredictor  = KDLAE-S.ipynb cell 3: 7-frame grayscale stack
+                    (resize-to-first), reflect-pad to multiple of 32,
+                    forward, clamp, crop.
+ASDQEScorer       = ASDQE_test.py:87-104 batch scoring.
+
+TPU specifics: forwards are jitted per padded shape; ``shape_bucket``
+optionally rounds padded sizes up to a coarser grid so arbitrary-size image
+folders hit a handful of compiled programs instead of one per size. Params
+can live in bf16 for speed (quality path stays fp32 by default).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import DenoiseRatePredictor, KDLAEStudent, KDLAETeacher
+from ..ops.layout import pad_to_multiple
+from ..ops.mask import apply_zero_mask, zero_mask_from_input
+from ..utils.image_io import imread_gray, imread_rgb, list_images, resize_area, to_ubyte
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _pad_reflect_np(x: np.ndarray, ph: int, pw: int, axes=(1, 2)) -> np.ndarray:
+    if ph == 0 and pw == 0:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[axes[0]] = (0, ph)
+    pad[axes[1]] = (0, pw)
+    return np.pad(x, pad, mode="reflect")
+
+
+@dataclass
+class TeacherPredictor:
+    """Whole-image KDLAE-T denoiser with the notebook's pre/postprocessing."""
+
+    params: Any
+    model: KDLAETeacher = field(default_factory=lambda: KDLAETeacher(
+        layernorm_type="BiasFree", static="train", params="cat"))
+    multiple_of: int = 8
+    shape_bucket: int | None = None  # e.g. 64 to cap recompiles
+    dtype: Any = jnp.float32
+
+    def __post_init__(self):
+        self._apply = functools.partial(jax.jit(self._forward))
+
+    def _forward(self, params, img, rate_plane):
+        out = self.model.apply({"params": params},
+                               {"img": img, "denoise_rate": rate_plane})
+        hq = jnp.clip(out["hq"], 0.0, 1.0)
+        sr = None if out["sr"] is None else jnp.clip(out["sr"], 0.0, 1.0)
+        return hq, sr
+
+    def __call__(self, img_rgb: np.ndarray, denoise_rate: float = 1.0,
+                 zero_mask: bool = True):
+        """img_rgb: (H, W, 3) float32 [0,1]. Returns dict with 'hq' and
+        (when the model has the SR branch) 'sr' uint8 arrays."""
+        h, w, _ = img_rgb.shape
+        m = self.multiple_of
+        ph = _round_up(h, m) - h
+        pw = _round_up(w, m) - w
+        if self.shape_bucket:
+            ph = _round_up(h, self.shape_bucket) - h
+            pw = _round_up(w, self.shape_bucket) - w
+        x = _pad_reflect_np(img_rgb[None], ph, pw).astype(np.float32)
+        rate = np.full((1, x.shape[1], x.shape[2], 1), denoise_rate, np.float32)
+        hq, sr = self._apply(self.params, jnp.asarray(x, self.dtype),
+                             jnp.asarray(rate, self.dtype))
+        hq = to_ubyte(np.asarray(hq[0, :h, :w], np.float32))
+        out = {}
+        if zero_mask:
+            mask = zero_mask_from_input(to_ubyte(img_rgb))
+            hq = apply_zero_mask(hq, mask)
+        out["hq"] = hq
+        if sr is not None:
+            sr_img = to_ubyte(np.asarray(sr[0, : 2 * h, : 2 * w], np.float32))
+            if zero_mask:
+                sr_img = apply_zero_mask(sr_img, mask, scale=2)
+            out["sr"] = sr_img
+        return out
+
+    def denoise_file(self, path: str, denoise_rate: float = 1.0, **kw):
+        return self(imread_rgb(path), denoise_rate, **kw)
+
+
+@dataclass
+class StudentPredictor:
+    """Multi-frame KDLAE-S denoiser (temporal stack serving path)."""
+
+    params: Any
+    model: KDLAEStudent = field(default_factory=lambda: KDLAEStudent(
+        residual=True, hidden_channels=(16, 32, 64)))
+    multiple_of: int = 32
+    num_frames: int = 7
+    dtype: Any = jnp.float32
+
+    def __post_init__(self):
+        self._apply = jax.jit(self._forward)
+
+    def _forward(self, params, stack):
+        out = self.model.apply({"params": params}, stack)
+        return jnp.clip(out, 0.0, 1.0)
+
+    def __call__(self, stack: np.ndarray) -> np.ndarray:
+        """stack: (F, H, W) float32 [0,1]. Returns (F, H, W) uint8."""
+        f, h, w = stack.shape
+        m = self.multiple_of
+        ph, pw = _round_up(h, m) - h, _round_up(w, m) - w
+        x = _pad_reflect_np(stack[None], ph, pw, axes=(2, 3)).astype(np.float32)
+        out = self._apply(self.params, jnp.asarray(x, self.dtype))
+        return to_ubyte(np.asarray(out[0, :, :h, :w], np.float32))
+
+    def load_stack(self, folder: str, start: int = 0) -> np.ndarray:
+        """Load ``num_frames`` consecutive grayscale frames, resized to the
+        first frame's size (KDLAE-S.ipynb cell 3 loader)."""
+        files = list_images(folder)
+        if len(files) < self.num_frames:
+            raise ValueError(
+                f"need {self.num_frames} frames, found {len(files)} in {folder}")
+        seq = files[start:start + self.num_frames]
+        frames = []
+        target = None
+        for p in seq:
+            img = imread_gray(p)
+            if target is None:
+                target = (img.shape[1], img.shape[0])
+            elif (img.shape[1], img.shape[0]) != target:
+                img = resize_area(img, *target)
+            frames.append(img)
+        return np.stack(frames, axis=0)
+
+    def denoise_folder(self, folder: str, start: int = 0) -> np.ndarray:
+        return self(self.load_stack(folder, start))
+
+
+@dataclass
+class ASDQEScorer:
+    """Pairwise quality scorer (ASDQE_test.py infer loop)."""
+
+    variables: Any  # {'params': ..., 'batch_stats': ...}
+    model: DenoiseRatePredictor = field(default_factory=DenoiseRatePredictor)
+    dtype: Any = jnp.float32
+
+    def __post_init__(self):
+        self._apply = jax.jit(self._forward)
+
+    def _forward(self, variables, lq, gt):
+        return self.model.apply(variables, lq, gt)
+
+    def __call__(self, lq: np.ndarray, gt: np.ndarray) -> np.ndarray:
+        """lq/gt: (H, W, 3) or (B, H, W, 3) float32 [0,1]; returns (B,)."""
+        if lq.ndim == 3:
+            lq, gt = lq[None], gt[None]
+        scores = self._apply(self.variables, jnp.asarray(lq, self.dtype),
+                             jnp.asarray(gt, self.dtype))
+        return np.asarray(scores).reshape(-1)

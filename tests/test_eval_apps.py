@@ -1,0 +1,138 @@
+"""End-to-end inference/eval apps on the reference's Sample fixtures.
+
+Weights are seeded-random (the repo ships none), converted from a torch
+reference model — so besides exercising the full serving path on real
+sonar/ultrasound images, the ASDQE protocol test is a genuine
+numbers-parity check against the reference's own scoring pipeline.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rethink_acoustic_image_enhancement_tpu.convert.torch_import import (
+    convert_asdqe,
+    convert_student,
+    convert_teacher,
+)
+from rethink_acoustic_image_enhancement_tpu.eval.asdqe_eval import (
+    calculate_statistics,
+    default_methods,
+    paired_files,
+    run_asdqe_eval,
+    write_stats_csv,
+)
+from rethink_acoustic_image_enhancement_tpu.eval.infer import (
+    ASDQEScorer,
+    StudentPredictor,
+    TeacherPredictor,
+)
+from rethink_acoustic_image_enhancement_tpu.models import (
+    DenoiseRatePredictor,
+    KDLAEStudent,
+    KDLAETeacher,
+)
+from rethink_acoustic_image_enhancement_tpu.utils.image_io import (
+    imread_gray,
+    imread_rgb,
+    list_images,
+)
+from tests.conftest import REFERENCE_ROOT, requires_reference
+
+SAMPLE = os.path.join(REFERENCE_ROOT, "Sample")
+
+
+def _small_teacher():
+    """Tiny-config teacher for CPU-speed e2e tests."""
+    model = KDLAETeacher(dim=8, num_blocks=(1, 1, 1, 1), num_refinement_blocks=1,
+                         heads=(1, 2, 4, 8), layernorm_type="BiasFree",
+                         static="train", params="cat")
+    params = model.init(
+        jax.random.PRNGKey(0),
+        {"img": jnp.zeros((1, 16, 16, 3)), "denoise_rate": jnp.zeros((1, 16, 16, 1))},
+    )["params"]
+    return model, params
+
+
+@requires_reference
+def test_teacher_predictor_on_sample_sonar():
+    model, params = _small_teacher()
+    pred = TeacherPredictor(params=params, model=model)
+    path = list_images(os.path.join(SAMPLE, "MDD", "origin"))[0]
+    img = imread_rgb(path)[:96, :120]  # crop for speed; odd size on purpose
+    out = pred(img, denoise_rate=1.0)
+    assert out["hq"].shape == img.shape and out["hq"].dtype == np.uint8
+    assert out["sr"].shape == (2 * img.shape[0], 2 * img.shape[1], 3)
+    # fan-beam zero-mask: input zero pixels stay zero in the output
+    zero = (img == 0).all(axis=-1)
+    if zero.any():
+        assert (out["hq"][zero] == 0).all()
+
+
+@requires_reference
+def test_student_predictor_on_sample_ultrasound():
+    model = KDLAEStudent(residual=True, hidden_channels=(16, 32, 64))
+    stack = np.stack([imread_gray(p)[:80, :100] for p in
+                      list_images(os.path.join(SAMPLE, "CAMUS", "origin"))[:7]])
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 7, 32, 32)))["params"]
+    pred = StudentPredictor(params=params, model=model)
+    out = pred(stack)
+    assert out.shape == stack.shape and out.dtype == np.uint8
+
+
+@requires_reference
+def test_asdqe_protocol_parity_on_sample(torch_asdqe_module, tmp_path):
+    """Full protocol vs the reference scoring run with the same (random)
+    weights on Sample/MDD: per-method statistics must agree."""
+    import torch
+
+    torch.manual_seed(0)
+    ref = torch_asdqe_module.DenoiseRatePredictor().eval()
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    params, batch_stats = convert_asdqe(sd)
+    scorer = ASDQEScorer(variables={
+        "params": jax.tree.map(jnp.asarray, params),
+        "batch_stats": jax.tree.map(jnp.asarray, batch_stats),
+    })
+
+    base, methods = default_methods(SAMPLE, "MDD")
+    # limit to two methods and downscaled crops for CPU speed
+    methods = {k: methods[k] for k in ["origin", "Teacher"]}
+
+    crop = 160
+    all_stats = {}
+    ref_stats = {}
+    for name, mdir in methods.items():
+        ours, theirs = [], []
+        for lq_path, gt_path in paired_files(base, mdir):
+            lq = imread_rgb(lq_path)[:crop, :crop]
+            gt = imread_rgb(gt_path)[:crop, :crop]
+            ours.append(scorer(lq, gt)[0])
+            with torch.no_grad():
+                t = ref(torch.from_numpy(lq.transpose(2, 0, 1)[None]),
+                        torch.from_numpy(gt.transpose(2, 0, 1)[None]))
+            theirs.append(float(t))
+        all_stats[name] = calculate_statistics(np.asarray(ours))
+        ref_stats[name] = calculate_statistics(np.asarray(theirs))
+
+    for name in methods:
+        for key, val in all_stats[name].items():
+            assert abs(val - ref_stats[name][key]) < 1e-5, (name, key)
+
+    csv_path = tmp_path / "stats_transposed.csv"
+    write_stats_csv(all_stats, str(csv_path))
+    lines = csv_path.read_text().strip().splitlines()
+    assert lines[0].split(",")[1:] == list(methods)
+    assert len(lines) == 8  # header + 7 stats
+
+
+def test_stats_csv_format(tmp_path):
+    stats = {"origin": calculate_statistics(np.asarray([0.1, 0.2, 0.3]))}
+    p = tmp_path / "s.csv"
+    write_stats_csv(stats, str(p))
+    rows = p.read_text().strip().splitlines()
+    assert rows[1].startswith("mean,0.200000")
