@@ -7,7 +7,6 @@ exercised without TPU hardware (SURVEY.md §4). Must run before jax import.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +14,12 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 
 import jax  # noqa: E402
+
+# Force CPU. The session env (and an interpreter-startup sitecustomize that
+# imports jax) pins JAX_PLATFORMS to the TPU plugin, so the env var is
+# already baked into jax.config by the time this conftest runs — only a
+# config update works. RAIE_TEST_PLATFORM=axon runs the suite on hardware.
+jax.config.update("jax_platforms", os.environ.get("RAIE_TEST_PLATFORM", "cpu"))
 
 # Parity tests compare against torch fp32; TPU-style low-precision matmuls
 # would dominate the tolerance budget.
