@@ -1,0 +1,354 @@
+"""Datasets — map-style host pipelines returning NHWC numpy batches.
+
+Ports of the acoustic-path datasets in
+Train/basicsr/data/paired_image_dataset.py, with two systematic changes:
+
+  * NHWC float32 numpy out (no torch tensors); the teacher returns
+    ``{'lq': {'img', 'denoise_rate'}, 'gt': {'hq', 'sr'}}`` exactly like
+    the reference but channels-last.
+  * all randomness flows from an explicit per-(epoch, index) PRNG —
+    deterministic, worker-safe, re-rollable per epoch (``set_epoch``).
+
+The heavy per-pixel corruption (input_mask) stays here only for the
+dataset-level base prob; the progressive extra masking runs on-device in
+the train step (train/progressive.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os.path as osp
+from typing import Any, Sequence
+
+import numpy as np
+
+from ..ops.mask import input_mask_np
+from ..utils.image_io import imread_bgr, imread_gray
+from .pairing import (
+    paired_multipaths_from_folder,
+    paired_paths_from_folder,
+    paired_paths_from_folder_param,
+    paired_paths_from_meta_info_file,
+)
+from .transforms import (
+    add_gaussian_noise,
+    add_random_noise,
+    pad_image_center,
+    pad_to_min_size,
+    paired_random_crop,
+    random_augmentation,
+    sync_augment_multi_scale,
+)
+
+
+def _reflect101_pad_to(img: np.ndarray, target: int) -> np.ndarray:
+    """cv2.BORDER_REFLECT_101 bottom/right pad to a minimum size
+    (paired_image_dataset.py:1019-1029)."""
+    h, w = img.shape[:2]
+    hp, wp = max(0, target - h), max(0, target - w)
+    if hp == 0 and wp == 0:
+        return img
+    spec = [(0, hp), (0, wp)] + [(0, 0)] * (img.ndim - 2)
+    return np.pad(img, spec, mode="reflect")
+
+
+class _SeededDataset:
+    """Deterministic per-(epoch, index) RNG."""
+
+    def __init__(self, seed: int = 0):
+        self._seed = seed
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+
+    def _rng(self, index: int) -> np.random.Generator:
+        return np.random.default_rng(
+            np.random.SeedSequence([self._seed, self._epoch, index]))
+
+
+class PairedImageDataset(_SeededDataset):
+    """Generic LQ/GT paired dataset (Dataset_PairedImage,
+    paired_image_dataset.py:299-421): pad -> random crop -> degenerate-input
+    noise -> 8-way geometric aug. BGR files read then flipped to RGB, like
+    img2tensor(bgr2rgb=True)."""
+
+    def __init__(self, opt: dict):
+        super().__init__(opt.get("seed", 0))
+        self.opt = opt
+        self.phase = opt.get("phase", "train")
+        self.scale = opt.get("scale", 1)
+        folders = [opt["dataroot_lq"], opt["dataroot_gt"]]
+        tmpl = opt.get("filename_tmpl", "{}")
+        if opt.get("meta_info_file"):
+            self.paths = paired_paths_from_meta_info_file(
+                folders, ["lq", "gt"], opt["meta_info_file"], tmpl)
+        else:
+            self.paths = paired_paths_from_folder(folders, ["lq", "gt"], tmpl)
+        self.geometric_augs = opt.get("geometric_augs", False)
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def __getitem__(self, index: int) -> dict[str, Any]:
+        rng = self._rng(index)
+        p = self.paths[index % len(self.paths)]
+        img_gt = imread_bgr(p["gt_path"])
+        img_lq = imread_bgr(p["lq_path"])
+
+        if self.phase == "train":
+            gt_size = self.opt["gt_size"]
+            img_lq, img_gt = pad_to_min_size(img_lq, img_gt, gt_size)
+            img_gt, img_lq = paired_random_crop(img_gt, img_lq, gt_size,
+                                                self.scale, rng)
+            # anti-degenerate noise (paired_image_dataset.py:394-398)
+            zero_ratio = max(np.mean(img_lq == 0), np.mean(img_lq == 1))
+            if zero_ratio > 0.20:
+                img_lq = add_random_noise(img_lq, rng)
+            if self.geometric_augs:
+                img_gt, img_lq = random_augmentation(img_gt, img_lq, rng=rng)
+
+        # BGR -> RGB at tensor time, channels-last stays
+        return {"lq": np.ascontiguousarray(img_lq[..., ::-1]),
+                "gt": np.ascontiguousarray(img_gt[..., ::-1]),
+                "lq_path": p["lq_path"], "gt_path": p["gt_path"]}
+
+
+class SuperRestorationParamDataset(_SeededDataset):
+    """The teacher dataset (Dataset_SuperRestoration_param,
+    paired_image_dataset.py:857-1105): four modalities paired by basename
+    (lq/gt/sr/param), per-image JSON with 'denoise_rate', synchronized
+    pad/crop with SR at 2x coordinates, 10% gaussian noise on LQ,
+    sync flip/rot aug, zero-input epsilon guard, denoise_rate tiled to an
+    (H, W, 1) plane."""
+
+    SR_SCALE = 2
+
+    def __init__(self, opt: dict):
+        super().__init__(opt.get("seed", 0))
+        self.opt = opt
+        self.phase = opt.get("phase", "train")
+        self.scale = opt.get("scale", 1)
+        self.gt_size = opt.get("gt_size", 256)
+        self.sr_size = self.gt_size * self.SR_SCALE
+        self.geometric_augs = opt.get("geometric_augs", False)
+        self.use_denoise_rate = opt.get("denoise_rate", True)
+        self.paths = paired_paths_from_folder_param(
+            [opt["dataroot_lq"], opt["dataroot_gt"], opt["dataroot_sr"],
+             opt["dataroot_param"]],
+            ["lq", "gt", "sr", "param"])
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    @staticmethod
+    def _read_img(path: str) -> np.ndarray:
+        img = imread_bgr(path)
+        return img
+
+    def __getitem__(self, index: int) -> dict[str, Any]:
+        rng = self._rng(index)
+        p = self.paths[index % len(self.paths)]
+        img_gt = self._read_img(p["gt_path"])
+        img_lq = self._read_img(p["lq_path"])
+        img_sr = self._read_img(p["sr_path"])
+        with open(p["param_path"]) as f:
+            param = json.load(f)
+        if self.use_denoise_rate:
+            dr = param.get("denoise_rate")
+            denoise_rate = 1.0 if dr is None else float(dr)
+        else:
+            denoise_rate = 1.0
+
+        if self.phase == "train":
+            h_gt, w_gt = img_gt.shape[:2]
+            h_sr, w_sr = img_sr.shape[:2]
+            if h_sr != h_gt * self.SR_SCALE or w_sr != w_gt * self.SR_SCALE:
+                raise ValueError(
+                    f"SR size mismatch: GT={h_gt}x{w_gt} SR={h_sr}x{w_sr} "
+                    f"({p['gt_path']})")
+            # multi-scale padding (reflect101, :1019-1029); pad to size+2 so
+            # the reference's randint(1, h-1-gt_size) crop window exists
+            img_gt = _reflect101_pad_to(img_gt, self.gt_size + 2)
+            img_lq = _reflect101_pad_to(img_lq, self.gt_size + 2)
+            img_sr = _reflect101_pad_to(img_sr, self.sr_size + 4)
+            # multi-scale joint crop (:1035-1054): offsets in [1, h-1-size]
+            h, w = img_gt.shape[:2]
+            top = int(rng.integers(1, max(h - 1 - self.gt_size, 1) + 1))
+            left = int(rng.integers(1, max(w - 1 - self.gt_size, 1) + 1))
+            img_gt = img_gt[top:top + self.gt_size, left:left + self.gt_size]
+            img_lq = img_lq[top:top + self.gt_size, left:left + self.gt_size]
+            st, sl = top * self.SR_SCALE, left * self.SR_SCALE
+            img_sr = img_sr[st:st + self.sr_size, sl:sl + self.sr_size]
+
+            if rng.uniform() < 0.1:  # 10% gaussian noise on LQ (:933-935)
+                img_lq = add_gaussian_noise(img_lq, rng)
+            if self.geometric_augs:
+                img_gt, img_lq, img_sr = sync_augment_multi_scale(
+                    [img_gt, img_lq, img_sr], rng)
+            # zero-input epsilon guard (:941-944)
+            zero_ratio = max(np.mean(img_lq == 0), np.mean(img_lq == 1))
+            if zero_ratio > 0.10:
+                img_lq = img_lq + 1e-14
+
+        rate_plane = np.full((*img_lq.shape[:2], 1), denoise_rate, np.float32)
+        to_rgb = lambda x: np.ascontiguousarray(x[..., ::-1].astype(np.float32))
+        return {
+            "lq": {"img": to_rgb(img_lq), "denoise_rate": rate_plane},
+            "gt": {"hq": to_rgb(img_gt), "sr": to_rgb(img_sr)},
+            "lq_path": p["lq_path"], "gt_path": p["gt_path"],
+        }
+
+
+class PairedMultiImageDataset(_SeededDataset):
+    """The student dataset (Dataset_PairedMutiImage,
+    paired_image_dataset.py:109-297): temporal groups of ``num_pairs``
+    grayscale frames with random stride, center-padded to the group max
+    size, stacked (F, H, W); train-time masked-denoising corruption
+    (64%: per-frame Bernoulli masks with a 36% prob+0.5 boost; else
+    simulated frame interpolation), degenerate-input guard, 8-way aug.
+    Extra phases 'test1' / 'interpolation' apply fixed corruption at eval.
+    """
+
+    def __init__(self, opt: dict):
+        super().__init__(opt.get("seed", 0))
+        self.opt = opt
+        self.phase = opt.get("phase", "train")
+        self.scale = opt.get("scale", 1)
+        self.num_pairs = opt.get("num_pairs", 3)
+        self.stride_range = tuple(opt.get("stride_range", (1, 5)))
+        self.prob = opt.get("prob", 0.0)
+        self.geometric_augs = opt.get("geometric_augs", False)
+        self._folders = [opt["dataroot_lq"], opt["dataroot_gt"]]
+        self.regroup(opt.get("seed", 0))
+
+    def regroup(self, seed: int) -> None:
+        """Re-roll the random per-group strides (per-epoch reshuffle of the
+        reference's init-time grouping)."""
+        self.paths = paired_multipaths_from_folder(
+            self._folders, ["lq", "gt"], self.num_pairs, self.stride_range,
+            seed=seed)
+
+    def set_epoch(self, epoch: int) -> None:
+        super().set_epoch(epoch)
+        if self.stride_range[0] != self.stride_range[1]:
+            self.regroup(self._seed + epoch)
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def _corrupt_train(self, lq: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        """lq: (H, W, F). paired_image_dataset.py:219-241."""
+        f = lq.shape[2]
+        if rng.random() < 0.64:
+            for i in range(f):
+                if rng.random() > 0.64:
+                    lq[:, :, i] = input_mask_np(lq[:, :, i], rng,
+                                                self.prob + 0.5)
+                else:
+                    lq[:, :, i] = input_mask_np(lq[:, :, i], rng, self.prob)
+        else:  # simulated frame interpolation
+            assert f % 2 == 1, "frame count must be odd"
+            for i in range(f):
+                if i % 2 == 1:
+                    mean_img = 0.5 * (lq[:, :, i - 1] + lq[:, :, i + 1])
+                    lq[:, :, i] = input_mask_np(mean_img, rng, self.prob + 0.5)
+                else:
+                    lq[:, :, i] = input_mask_np(lq[:, :, i], rng, self.prob)
+        return lq
+
+    def __getitem__(self, index: int) -> dict[str, Any]:
+        rng = self._rng(index)
+        group = self.paths[index % len(self.paths)]
+        gt_frames = [imread_gray(g["gt_path"]) for g in group]
+        lq_frames = [imread_gray(g["lq_path"]) for g in group]
+        th = max(img.shape[0] for img in gt_frames)
+        tw = max(img.shape[1] for img in gt_frames)
+        gt = np.stack([pad_image_center(x, th, tw) for x in gt_frames], axis=-1)
+        lq = np.stack([pad_image_center(x, th, tw) for x in lq_frames], axis=-1)
+
+        if self.phase == "train":
+            gt_size = self.opt["gt_size"]
+            lq, gt = pad_to_min_size(lq, gt, gt_size)
+            gt, lq = paired_random_crop(gt, lq, gt_size, self.scale, rng)
+            lq = self._corrupt_train(np.ascontiguousarray(lq), rng)
+            zero_ratio = max(np.mean(lq == 0), np.mean(lq == 1))
+            if zero_ratio > 0.64:
+                lq = add_random_noise(lq, rng)
+            if self.geometric_augs:
+                gt, lq = random_augmentation(gt, lq, rng=rng)
+        elif self.phase == "test1":  # fixed corruption eval (:253-258)
+            for i in range(lq.shape[2]):
+                if rng.random() < 0.2:
+                    lq[:, :, i] = input_mask_np(lq[:, :, i], rng, self.prob + 0.6)
+                else:
+                    lq[:, :, i] = input_mask_np(lq[:, :, i], rng, self.prob)
+        elif self.phase == "interpolation":  # (:260-272)
+            for i in range(lq.shape[2]):
+                if i % 2 == 1:
+                    mean_img = 0.5 * (lq[:, :, i - 1] + lq[:, :, i + 1])
+                    lq[:, :, i] = input_mask_np(mean_img, rng, self.prob + 0.5)
+                else:
+                    lq[:, :, i] = input_mask_np(lq[:, :, i], rng, self.prob)
+
+        # HWC(F) -> (F, H, W) frame stack
+        return {"lq": np.ascontiguousarray(lq.transpose(2, 0, 1)).astype(np.float32),
+                "gt": np.ascontiguousarray(gt.transpose(2, 0, 1)).astype(np.float32),
+                "lq_path": group[-1]["lq_path"],
+                "gt_path": group[-1]["gt_path"]}
+
+
+class SIQADataset(_SeededDataset):
+    """ASDQE training dataset (Dataset_S_IQA,
+    paired_image_dataset.py:643-855): lq/gt/param triplets, JSON 'score'
+    label; returns {'lq': {'img', 'score'}, 'gt': {'hq'}}."""
+
+    def __init__(self, opt: dict):
+        super().__init__(opt.get("seed", 0))
+        self.opt = opt
+        self.phase = opt.get("phase", "train")
+        self.gt_size = opt.get("gt_size", None)
+        self.geometric_augs = opt.get("geometric_augs", False)
+        self.paths = paired_paths_from_folder_param(
+            [opt["dataroot_lq"], opt["dataroot_gt"], opt["dataroot_param"]],
+            ["lq", "gt", "param"])
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def __getitem__(self, index: int) -> dict[str, Any]:
+        rng = self._rng(index)
+        p = self.paths[index % len(self.paths)]
+        img_gt = imread_bgr(p["gt_path"])
+        img_lq = imread_bgr(p["lq_path"])
+        with open(p["param_path"]) as f:
+            score = float(json.load(f)["score"])
+
+        if self.phase == "train" and self.gt_size:
+            img_lq, img_gt = pad_to_min_size(img_lq, img_gt, self.gt_size)
+            img_gt, img_lq = paired_random_crop(img_gt, img_lq, self.gt_size,
+                                                1, rng)
+            if self.geometric_augs:
+                img_gt, img_lq = random_augmentation(img_gt, img_lq, rng=rng)
+
+        to_rgb = lambda x: np.ascontiguousarray(x[..., ::-1].astype(np.float32))
+        return {"lq": {"img": to_rgb(img_lq),
+                       "score": np.float32(score)},
+                "gt": {"hq": to_rgb(img_gt)},
+                "lq_path": p["lq_path"], "gt_path": p["gt_path"]}
+
+
+DATASETS = {
+    "Dataset_PairedImage": PairedImageDataset,
+    "Dataset_SuperRestoration_param": SuperRestorationParamDataset,
+    "Dataset_PairedMutiImage": PairedMultiImageDataset,
+    "Dataset_S_IQA": SIQADataset,
+}
+
+
+def create_dataset(opt: dict):
+    """Reference-style registry (data/__init__.py:29-54)."""
+    t = opt["type"]
+    if t not in DATASETS:
+        raise KeyError(f"unknown dataset type {t!r}; known: {sorted(DATASETS)}")
+    return DATASETS[t](opt)
