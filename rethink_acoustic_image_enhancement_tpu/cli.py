@@ -1,0 +1,214 @@
+"""Command-line entry points.
+
+Replaces the reference's scattered drivers (Train/basicsr/train.py CLI,
+Train/basicsr/test.py, ASDQE/ASDQE_test.py __main__, the two inference
+notebooks, utils/download_weights.py) with one CLI:
+
+  raie train -opt cfg.yml            config-driven training (auto-resume)
+  raie test  -opt cfg.yml            config-driven offline eval
+  raie infer-teacher ...             KDLAE-T whole-image denoise
+  raie infer-student ...             KDLAE-S multi-frame denoise
+  raie score ...                     ASDQE method-vs-origin protocol (CSV)
+  raie convert ...                   reference .pth -> orbax checkpoint
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _cmd_train(args) -> int:
+    from .train.config import make_exp_dirs, parse, validate
+    from .train.loop import train_from_config
+
+    opt = parse(args.opt, is_train=True)
+    validate(opt)
+    make_exp_dirs(opt)
+    train_from_config(opt, max_iters=args.max_iters)
+    return 0
+
+
+def _cmd_test(args) -> int:
+    from .data.datasets import create_dataset
+    from .data.loader import BatchLoader, EnlargedShuffleSampler
+    from .models import build_network
+    from .train.checkpoints import load_weights
+    from .train.config import make_exp_dirs, parse, validate
+    from .train.loop import validate_model
+
+    opt = parse(args.opt, is_train=False)
+    validate(opt)
+    make_exp_dirs(opt)
+    model = build_network(opt["network_g"])
+    params = load_weights(args.weights or opt["path"]["pretrain_network_g"],
+                          opt.get("path", {}).get("param_key", "params"))
+    for phase, ds_opt in opt["datasets"].items():
+        ds = create_dataset(ds_opt)
+        loader = BatchLoader(ds, 1, EnlargedShuffleSampler(len(ds),
+                             shuffle=False), num_workers=1, drop_last=False)
+        scores = validate_model(model, params, loader, opt)
+        print(f"[{ds_opt.get('name', phase)}] " + ", ".join(
+            f"{k}={v:.4f}" for k, v in scores.items()))
+    return 0
+
+
+def _load_params_any(path: str, arch: str, param_key: str):
+    """Accept either a reference .pth or an orbax checkpoint dir."""
+    from .train.checkpoints import load_reference_pth, load_weights
+
+    if path.endswith(".pth"):
+        return load_reference_pth(path, arch, param_key=param_key)
+    return load_weights(path, param_key)
+
+
+def _cmd_infer_teacher(args) -> int:
+    from .eval.infer import TeacherPredictor
+    from .utils.image_io import imwrite, list_images
+
+    params = _load_params_any(args.weights, "KDLAE_teacher", args.param_key)
+    from .models import KDLAETeacher
+
+    model = KDLAETeacher(layernorm_type=args.layernorm_type,
+                         static="train" if args.sr else "test", params="cat")
+    pred = TeacherPredictor(params=params, model=model)
+    paths = ([args.input] if os.path.isfile(args.input)
+             else list_images(args.input))
+    os.makedirs(args.output, exist_ok=True)
+    for p in paths:
+        out = pred.denoise_file(p, denoise_rate=args.denoise_rate)
+        base = os.path.basename(p)
+        imwrite(os.path.join(args.output, base), out["hq"])
+        if args.sr and "sr" in out:
+            imwrite(os.path.join(args.output, f"sr_{base}"), out["sr"])
+        print(f"{p} -> {os.path.join(args.output, base)}")
+    return 0
+
+
+def _cmd_infer_student(args) -> int:
+    from .eval.infer import StudentPredictor
+    from .utils.image_io import imwrite
+
+    params = _load_params_any(args.weights, "KDLAE_student", args.param_key)
+    pred = StudentPredictor(params=params, num_frames=args.frames)
+    out = pred.denoise_folder(args.input, start=args.start)
+    os.makedirs(args.output, exist_ok=True)
+    for f in range(out.shape[0]):
+        path = os.path.join(args.output, f"frame_{args.start + f:04d}.png")
+        imwrite(path, out[f], rgb=False)
+    print(f"{out.shape[0]} frames -> {args.output}")
+    return 0
+
+
+def _cmd_score(args) -> int:
+    import jax
+
+    from .eval.asdqe_eval import default_methods, run_asdqe_eval
+    from .eval.infer import ASDQEScorer
+
+    if args.weights.endswith(".pth"):
+        from .train.checkpoints import load_reference_pth
+
+        params, batch_stats = load_reference_pth(
+            args.weights, "DenoiseRatePredictor", param_key=None)
+    else:
+        from .train.checkpoints import load_weights
+
+        restored = load_weights(args.weights, None)
+        params, batch_stats = restored["params"], restored["batch_stats"]
+    import jax.numpy as jnp
+
+    scorer = ASDQEScorer(variables={
+        "params": jax.tree.map(jnp.asarray, params),
+        "batch_stats": jax.tree.map(jnp.asarray, batch_stats)})
+
+    if args.methods:
+        methods = dict(m.split("=", 1) for m in args.methods)
+        base = args.lq_dir
+    else:
+        base, methods = default_methods(args.sample_root, args.dataset)
+    run_asdqe_eval(scorer, base, methods, csv_path=args.csv)
+    return 0
+
+
+def _cmd_convert(args) -> int:
+    import orbax.checkpoint as ocp
+
+    from .convert.torch_import import CONVERTERS, load_pth_state_dict
+
+    sd = load_pth_state_dict(args.pth, args.param_key)
+    converted = CONVERTERS[args.arch](sd)
+    ckptr = ocp.StandardCheckpointer()
+    if args.arch == "DenoiseRatePredictor":
+        params, batch_stats = converted
+        payload = {"params": params, "batch_stats": batch_stats}
+    else:
+        payload = {"params": converted}
+    out = os.path.abspath(args.out)
+    ckptr.save(out, payload, force=True)
+    ckptr.wait_until_finished()
+    print(f"converted {args.pth} [{args.arch}] -> {out}")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="raie", description=__doc__)
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("train", help="config-driven training")
+    p.add_argument("-opt", required=True)
+    p.add_argument("--max-iters", type=int, default=None)
+    p.set_defaults(fn=_cmd_train)
+
+    p = sub.add_parser("test", help="config-driven offline eval")
+    p.add_argument("-opt", required=True)
+    p.add_argument("--weights", default=None)
+    p.set_defaults(fn=_cmd_test)
+
+    p = sub.add_parser("infer-teacher", help="KDLAE-T whole-image denoise")
+    p.add_argument("--weights", required=True)
+    p.add_argument("--input", required=True, help="image file or folder")
+    p.add_argument("--output", required=True)
+    p.add_argument("--denoise-rate", type=float, default=1.0)
+    p.add_argument("--sr", action="store_true", help="also emit the 2x output")
+    p.add_argument("--layernorm-type", default="BiasFree")
+    p.add_argument("--param-key", default="params")
+    p.set_defaults(fn=_cmd_infer_teacher)
+
+    p = sub.add_parser("infer-student", help="KDLAE-S multi-frame denoise")
+    p.add_argument("--weights", required=True)
+    p.add_argument("--input", required=True, help="frame folder")
+    p.add_argument("--output", required=True)
+    p.add_argument("--frames", type=int, default=7)
+    p.add_argument("--start", type=int, default=0)
+    p.add_argument("--param-key", default="params")
+    p.set_defaults(fn=_cmd_infer_student)
+
+    p = sub.add_parser("score", help="ASDQE scoring protocol")
+    p.add_argument("--weights", required=True)
+    p.add_argument("--sample-root", default="Sample")
+    p.add_argument("--dataset", default="MDD")
+    p.add_argument("--lq-dir", default=None)
+    p.add_argument("--methods", nargs="*", default=None,
+                   help="name=dir pairs (default: reference protocol)")
+    p.add_argument("--csv", default="stats_transposed.csv")
+    p.set_defaults(fn=_cmd_score)
+
+    p = sub.add_parser("convert", help="reference .pth -> orbax checkpoint")
+    p.add_argument("--pth", required=True)
+    p.add_argument("--arch", required=True,
+                   choices=["KDLAE_teacher", "RestormerSuperResolutionParam2",
+                            "Restormer", "KDLAE_student",
+                            "DenoiseRatePredictor"])
+    p.add_argument("--out", required=True)
+    p.add_argument("--param-key", default="params")
+    p.set_defaults(fn=_cmd_convert)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

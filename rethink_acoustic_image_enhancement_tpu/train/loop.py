@@ -1,0 +1,251 @@
+"""The end-to-end training driver — config in, checkpoints out.
+
+Equivalent of Train/basicsr/train.py main(): dataloaders, progressive
+curriculum, logging, periodic checkpoint + validation, auto-resume. Runs
+the compiled Trainer step; host work is limited to batch loading (threads)
+and the stage lookup.
+
+Validation is dict-aware (uses pred['hq'] for dict-output models) — the
+reference's teacher validation crashes on dict outputs and was effectively
+disabled via val_freq >> total_iter (SURVEY.md §3.5); fixed here.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..data.datasets import create_dataset
+from ..data.loader import BatchLoader, DevicePrefetcher, EnlargedShuffleSampler
+from ..losses import build_loss
+from ..metrics import get_metric
+from ..models import build_network
+from ..ops.layout import crop_to, pad_to_multiple
+from ..utils.logging import MessageLogger, get_logger
+from .checkpoints import (
+    find_latest_checkpoint,
+    load_reference_pth,
+    restore_checkpoint,
+    save_checkpoint,
+    save_weights,
+)
+from .config import make_exp_dirs, validate
+from .progressive import ProgressiveSchedule, subsample_batch
+from .schedules import build_schedule
+from .trainer import Trainer, build_optimizer
+
+
+def _is_dict_batch(lq) -> bool:
+    return isinstance(lq, dict)
+
+
+def build_everything(opt: dict, mesh=None):
+    """(model, params, trainer, schedule) from a parsed config."""
+    validate(opt)
+    model = build_network(opt["network_g"])
+    train_opt = opt["train"]
+    ds_opt = opt["datasets"]["train"]
+
+    # init params at a small static shape
+    rng = jax.random.PRNGKey(opt.get("manual_seed", 0))
+    net_type = opt["network_g"]["type"]
+    if net_type in ("KDLAE_teacher", "RestormerSuperResolutionParam2"):
+        example = {"img": jnp.zeros((1, 16, 16, opt["network_g"].get(
+            "inp_channels", 3))),
+            "denoise_rate": jnp.zeros((1, 16, 16, 1))}
+    elif net_type == "KDLAE_student":
+        example = jnp.zeros((1, ds_opt.get("num_pairs", 7), 16, 16))
+    else:
+        example = jnp.zeros((1, 16, 16, opt["network_g"].get("inp_channels", 3)))
+    params = model.init(rng, example)["params"]
+
+    # pretrained load (strict or merge)
+    load_path = opt.get("path", {}).get("pretrain_network_g")
+    if load_path:
+        params = load_reference_pth(
+            load_path, net_type, target_params=params,
+            param_key=opt["path"].get("param_key", "params"),
+            strict=opt["path"].get("strict_load_g", True))
+        params = jax.tree.map(jnp.asarray, params)
+
+    schedule = build_schedule(train_opt["optim_g"]["lr"],
+                              train_opt["scheduler"],
+                              train_opt.get("warmup_iter", -1))
+    loss_fn = build_loss(train_opt["pixel_opt"])
+    mix = train_opt.get("mixing_augs", {})
+    trainer = Trainer(
+        apply_fn=lambda p, lq: model.apply({"params": p}, lq),
+        loss_fn=loss_fn,
+        optimizer=build_optimizer(train_opt, schedule),
+        schedule=schedule,
+        mesh=mesh,
+        ema_decay=train_opt.get("ema_decay", 0.0),
+        mixup=mix.get("mixup", False),
+        mixup_beta=mix.get("mixup_beta", 1.2),
+        mixup_identity=mix.get("use_identity", False),
+        scale=opt.get("scale", 1),
+        gt_size=ds_opt.get("gt_size", 0),
+        loss_takes_rng=train_opt["pixel_opt"].get("reduction") == "mix",
+    )
+    return model, params, trainer, schedule
+
+
+def validate_model(model, params, val_loader, opt,
+                   max_items: int | None = None) -> dict[str, float]:
+    """Dict-aware validation: pad to window_size, forward, crop, metrics."""
+    val_opt = opt.get("val", {})
+    window = val_opt.get("window_size", 8)
+    metric_cfgs = val_opt.get("metrics", {"psnr": {
+        "type": "calculate_psnr", "crop_border": 0, "test_y_channel": False}})
+
+    @jax.jit
+    def fwd(params, lq):
+        out = model.apply({"params": params}, lq)
+        if isinstance(out, dict):
+            out = out["hq"]
+        return jnp.clip(out, 0.0, 1.0)
+
+    sums = {name: 0.0 for name in metric_cfgs}
+    count = 0
+    for batch in val_loader:
+        lq, gt = batch["lq"], batch["gt"]
+        if _is_dict_batch(lq):
+            img = jnp.asarray(lq["img"])
+            h, w = img.shape[1:3]
+            img, _ = pad_to_multiple(img, window)
+            rate, _ = pad_to_multiple(jnp.asarray(lq["denoise_rate"]), window)
+            pred = fwd(params, {"img": img, "denoise_rate": rate})
+            pred = crop_to(pred, h, w)
+            target = np.asarray(gt["hq"] if isinstance(gt, dict) else gt)
+        else:
+            x = jnp.asarray(lq)
+            axes = (2, 3) if x.ndim == 4 and x.shape[-1] not in (1, 3) else (1, 2)
+            h, w = x.shape[axes[0]], x.shape[axes[1]]
+            x, _ = pad_to_multiple(x, window, axes=axes)
+            pred = fwd(params, x)
+            pred = crop_to(pred, h, w, axes=axes)
+            target = np.asarray(gt)
+        pred = np.asarray(pred)
+        for b in range(pred.shape[0]):
+            for name, cfg in metric_cfgs.items():
+                cfg = dict(cfg)
+                fn = get_metric(cfg.pop("type"))
+                p_img, t_img = pred[b], target[b]
+                if p_img.ndim == 3 and p_img.shape[-1] not in (1, 3):
+                    # frame stack (F, H, W): score frame-wise mean
+                    vals = [fn(p_img[f][..., None], t_img[f][..., None], **cfg)
+                            for f in range(p_img.shape[0])]
+                    sums[name] += float(np.mean(vals))
+                else:
+                    sums[name] += float(fn(p_img, t_img, **cfg))
+            count += 1
+        if max_items is not None and count >= max_items:
+            break
+    return {k: v / max(count, 1) for k, v in sums.items()}
+
+
+def train_from_config(opt: dict, mesh=None, max_iters: int | None = None,
+                      log_fn: Callable[[str], None] | None = None) -> Any:
+    """Full training run. ``max_iters`` overrides total_iter (smoke runs)."""
+    make_exp_dirs(opt)
+    logger = get_logger("raie", opt["path"].get("log"))
+    log = log_fn or logger.info
+
+    model, params, trainer, schedule = build_everything(opt, mesh)
+    state = trainer.init_state(params)
+
+    ds_opt = opt["datasets"]["train"]
+    dataset = create_dataset(ds_opt)
+    sampler = EnlargedShuffleSampler(
+        len(dataset), ratio=ds_opt.get("dataset_enlarge_ratio", 1),
+        rank=jax.process_index(), world_size=jax.process_count(),
+        shuffle=ds_opt.get("use_shuffle", True),
+        seed=opt.get("manual_seed", 0))
+    loader = BatchLoader(dataset, ds_opt["batch_size_per_gpu"], sampler,
+                         num_workers=ds_opt.get("num_worker_per_gpu", 4),
+                         drop_last=ds_opt.get("drop_last", True))
+    prog = ProgressiveSchedule.from_dataset_opt(ds_opt)
+
+    total_iters = int(max_iters or opt["train"]["total_iter"])
+    logger_cfg = opt.get("logger", {})
+    print_freq = logger_cfg.get("print_freq", 200)
+    ckpt_freq = int(logger_cfg.get("save_checkpoint_freq", 2000))
+    val_freq = int(opt.get("val", {}).get("val_freq", 0) or 0)
+
+    # auto-resume
+    start_epoch = 0
+    states_dir = opt["path"].get("training_states")
+    if states_dir and opt["path"].get("resume_state", "auto") is not None:
+        latest = find_latest_checkpoint(states_dir)
+        if latest is not None:
+            state, start_epoch = restore_checkpoint(states_dir, latest, state)
+            log(f"auto-resumed from iteration {latest}")
+
+    msg_logger = MessageLogger(total_iters, start_iter=int(state.step), log=log)
+    rng = jax.random.PRNGKey(opt.get("manual_seed", 0) + jax.process_index())
+    current_iter = int(state.step)
+    epoch = start_epoch
+    host_rng = np.random.default_rng(opt.get("manual_seed", 0))
+
+    val_loader = None
+    if val_freq and "val" in opt.get("datasets", {}):
+        val_ds = create_dataset(opt["datasets"]["val"])
+        val_loader_factory = lambda: BatchLoader(
+            val_ds, 1, EnlargedShuffleSampler(len(val_ds), shuffle=False),
+            num_workers=1, drop_last=False)
+        val_loader = val_loader_factory
+
+    t_data = time.time()
+    while current_iter < total_iters:
+        loader.set_epoch(epoch)
+        for batch in DevicePrefetcher(iter(loader), put=lambda b: b):
+            if current_iter >= total_iters:
+                break
+            current_iter += 1
+            data_time = time.time() - t_data
+
+            lq, gt = batch["lq"], batch["gt"]
+            extra_prob, mini_gt = 0.0, 0
+            if prog is not None:
+                mb, mini_gt, mini_prob = prog.at(current_iter)
+                bsz = (jax.tree.leaves(lq)[0]).shape[0]
+                if mb < bsz:
+                    idx = host_rng.choice(bsz, size=mb, replace=False)
+                    lq = subsample_batch(lq, idx)
+                    gt = subsample_batch(gt, idx)
+                extra_prob = max(mini_prob - prog.base_prob, 0.0)
+
+            rng, step_rng = jax.random.split(rng)
+            state, metrics = trainer.step(state, lq, gt, step_rng,
+                                          extra_prob=extra_prob,
+                                          mini_gt_size=mini_gt)
+            iter_time = time.time() - t_data
+            t_data = time.time()
+
+            if current_iter % print_freq == 0:
+                msg_logger(epoch, current_iter,
+                           {k: float(v) for k, v in metrics.items()},
+                           iter_time, data_time)
+            if ckpt_freq and current_iter % ckpt_freq == 0:
+                if jax.process_index() == 0 and states_dir:
+                    save_checkpoint(states_dir, current_iter, state, epoch)
+                    save_weights(opt["path"]["models"], current_iter,
+                                 state.params, state.ema_params)
+                    log(f"saved checkpoint @ {current_iter}")
+            if val_freq and val_loader and current_iter % val_freq == 0:
+                scores = validate_model(model, state.params, val_loader(), opt)
+                log(f"validation @ {current_iter}: " + ", ".join(
+                    f"{k}={v:.4f}" for k, v in scores.items()))
+        epoch += 1
+
+    if jax.process_index() == 0 and states_dir:
+        save_checkpoint(states_dir, current_iter, state, epoch)
+        save_weights(opt["path"]["models"], current_iter,
+                     state.params, state.ema_params)
+        log(f"training done @ {current_iter}")
+    return state

@@ -1,0 +1,93 @@
+"""Logging: root logger + per-iteration message formatting.
+
+Port of Train/basicsr/utils/logger.py MessageLogger (epoch/iter/lr/ETA/
+losses line, logger.py:10-77) with optional TensorBoard scalars; rank != 0
+processes are silenced like the reference (@master_only / logger.py:137).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Callable
+
+
+def get_logger(name: str = "raie", log_dir: str | None = None,
+               level: int = logging.INFO) -> logging.Logger:
+    logger = logging.getLogger(name)
+    if logger.handlers:
+        return logger
+    logger.setLevel(level)
+    fmt = logging.Formatter("%(asctime)s %(levelname)s: %(message)s")
+    sh = logging.StreamHandler()
+    sh.setFormatter(fmt)
+    logger.addHandler(sh)
+    if log_dir:
+        os.makedirs(log_dir, exist_ok=True)
+        fh = logging.FileHandler(
+            os.path.join(log_dir, f"train_{int(time.time())}.log"))
+        fh.setFormatter(fmt)
+        logger.addHandler(fh)
+    try:
+        import jax
+
+        if jax.process_index() != 0:
+            logger.setLevel(logging.ERROR)
+    except Exception:
+        pass
+    return logger
+
+
+class MessageLogger:
+    """Formats '[epoch..][iter..] lr: .. eta: .. time: .. l_pix: ..' lines
+    with ETA estimation (logger.py:33-77)."""
+
+    def __init__(self, total_iters: int, start_iter: int = 0,
+                 log: Callable[[str], None] | None = None,
+                 tb_log_dir: str | None = None):
+        self.total_iters = total_iters
+        self.start_iter = start_iter
+        self.start_time = time.time()
+        self.log = log or print
+        self._tb = None
+        if tb_log_dir:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(tb_log_dir)
+            except Exception:
+                self._tb = None
+
+    def __call__(self, epoch: int, current_iter: int, metrics: dict,
+                 iter_time: float = 0.0, data_time: float = 0.0) -> None:
+        lr = metrics.get("lr")
+        msg = f"[epoch:{epoch:3d}, iter:{current_iter:8,d}"
+        if lr is not None:
+            msg += f", lr:({lr:.3e})] "
+        else:
+            msg += "] "
+        if current_iter > self.start_iter:
+            elapsed = time.time() - self.start_time
+            per_iter = elapsed / (current_iter - self.start_iter)
+            eta = per_iter * (self.total_iters - current_iter)
+            msg += f"[eta: {_fmt_time(eta)}, time: {iter_time:.3f}, " \
+                   f"data_time: {data_time:.3f}] "
+        for k, v in metrics.items():
+            if k == "lr":
+                continue
+            msg += f"{k}: {v:.4e} "
+            if self._tb is not None:
+                tag = k if k.startswith("m_") else f"losses/{k}"
+                self._tb.add_scalar(tag, v, current_iter)
+        self.log(msg)
+
+
+def _fmt_time(seconds: float) -> str:
+    s = int(seconds)
+    d, s = divmod(s, 86400)
+    h, s = divmod(s, 3600)
+    m, s = divmod(s, 60)
+    if d:
+        return f"{d}d {h}:{m:02d}:{s:02d}"
+    return f"{h}:{m:02d}:{s:02d}"

@@ -1,0 +1,68 @@
+"""CLI smoke tests: convert (.pth -> orbax), infer-student, score."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from rethink_acoustic_image_enhancement_tpu.cli import main
+from rethink_acoustic_image_enhancement_tpu.utils.image_io import imwrite
+from tests.conftest import requires_reference
+
+
+@requires_reference
+def test_convert_and_infer_student_cli(tmp_path, torch_kdlae_module):
+    import torch
+
+    torch.manual_seed(0)
+    ref = torch_kdlae_module.KDLAE_student(
+        inp_channels=1, out_channels=1, residual=True,
+        hidden_channels=[16, 32, 64])
+    pth = tmp_path / "student.pth"
+    torch.save({"params": ref.state_dict()}, str(pth))
+
+    ckpt = tmp_path / "student_jax"
+    assert main(["convert", "--pth", str(pth), "--arch", "KDLAE_student",
+                 "--out", str(ckpt)]) == 0
+
+    frames_dir = tmp_path / "frames"
+    os.makedirs(frames_dir)
+    for i in range(7):
+        img = (np.random.default_rng(i).uniform(0.2, 0.8, (64, 64)) * 255
+               ).astype(np.uint8)
+        imwrite(str(frames_dir / f"{i:03d}.png"), img, rgb=False)
+
+    out_dir = tmp_path / "out"
+    assert main(["infer-student", "--weights", str(ckpt),
+                 "--input", str(frames_dir), "--output", str(out_dir)]) == 0
+    outs = sorted(os.listdir(out_dir))
+    assert len(outs) == 7
+
+
+@requires_reference
+def test_score_cli_custom_methods(tmp_path, torch_asdqe_module):
+    import torch
+
+    torch.manual_seed(0)
+    ref = torch_asdqe_module.DenoiseRatePredictor().eval()
+    pth = tmp_path / "asdqe.pth"
+    torch.save(ref.state_dict(), str(pth))
+
+    lq_dir = tmp_path / "origin"
+    m_dir = tmp_path / "method_a"
+    os.makedirs(lq_dir)
+    os.makedirs(m_dir)
+    for i in range(3):
+        rng = np.random.default_rng(i)
+        img = (rng.uniform(0, 1, (48, 48, 3)) * 255).astype(np.uint8)
+        imwrite(str(lq_dir / f"{i}.png"), img)
+        imwrite(str(m_dir / f"{i}.png"), np.clip(img + 10, 0, 255).astype(np.uint8))
+
+    csv = tmp_path / "stats.csv"
+    assert main(["score", "--weights", str(pth), "--lq-dir", str(lq_dir),
+                 "--methods", f"origin={lq_dir}", f"A={m_dir}",
+                 "--csv", str(csv)]) == 0
+    lines = csv.read_text().strip().splitlines()
+    assert lines[0] == ",origin,A"
+    assert len(lines) == 8
