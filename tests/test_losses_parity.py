@@ -112,10 +112,11 @@ def test_video_frames_mix_reduction_samples_per_call():
     mix = build_loss({"type": "L1LossForVideoFrames", "reduction": "mix"})
     mean_fn = build_loss({"type": "L1LossForVideoFrames", "reduction": "mean"})
     max_fn = build_loss({"type": "L1LossForVideoFrames", "reduction": "max"})
-    vals = {float(mix(jnp.asarray(pred), jnp.asarray(target),
-                      rng=jax.random.PRNGKey(i))) for i in range(20)}
-    expected = {float(mean_fn(jnp.asarray(pred), jnp.asarray(target))),
-                float(max_fn(jnp.asarray(pred), jnp.asarray(target)))}
+    vals = sorted({round(float(mix(jnp.asarray(pred), jnp.asarray(target),
+                                   rng=jax.random.PRNGKey(i))), 5)
+                   for i in range(20)})
+    expected = sorted({round(float(mean_fn(jnp.asarray(pred), jnp.asarray(target))), 5),
+                       round(float(max_fn(jnp.asarray(pred), jnp.asarray(target))), 5)})
     assert vals == expected  # both branches seen across 20 keys
 
 
