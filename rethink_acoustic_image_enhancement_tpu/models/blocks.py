@@ -83,23 +83,48 @@ class MDTA(nn.Module):
 
 
 class TransformerBlock(nn.Module):
-    """Pre-norm residual LN->MDTA, LN->GDFN (KDLAE/KDLAE_model.py:150-163)."""
+    """Pre-norm residual LN->MDTA, LN->GDFN (KDLAE/KDLAE_model.py:150-163).
+
+    ``fused=True`` routes the LN2->GDFN->residual branch through the Pallas
+    TPU kernel (ops/pallas/gdfn.py) — same parameters, bf16 MXU internals;
+    intended for the serving path (inference predictors / bench). Falls
+    back to the XLA composition when the spatial shape can't be tiled.
+    """
 
     dim: int
     num_heads: int
     ffn_expansion_factor: float = 2.66
     use_bias: bool = False
     bias_free_ln: bool = False
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = x + MDTA(self.dim, self.num_heads, self.use_bias, name="attn")(
             ChannelLayerNorm(self.dim, self.bias_free_ln, name="norm1")(x)
         )
-        x = x + GDFN(self.dim, self.ffn_expansion_factor, self.use_bias, name="ffn")(
-            ChannelLayerNorm(self.dim, self.bias_free_ln, name="norm2")(x)
-        )
-        return x
+        norm2 = ChannelLayerNorm(self.dim, self.bias_free_ln, name="norm2")
+        ffn = GDFN(self.dim, self.ffn_expansion_factor, self.use_bias, name="ffn")
+        use_fused = self.fused and not self.use_bias and not self.is_initializing()
+        if use_fused:
+            from ..ops.pallas.gdfn import fused_ln_gdfn, supports_shape
+
+            use_fused = supports_shape(x.shape[1], x.shape[2], self.dim,
+                                       self.ffn_expansion_factor)
+        if not use_fused:
+            return x + ffn(norm2(x))
+        # identical parameter tree to the unfused path; the kernel consumes
+        # the submodule weights directly
+        ln_p = self.variables["params"]["norm2"]
+        ffn_p = self.variables["params"]["ffn"]
+        from ..ops.pallas.gdfn import fused_ln_gdfn
+
+        return fused_ln_gdfn(
+            x, ln_p["weight"], ln_p.get("bias"),
+            ffn_p["project_in"]["kernel"],
+            ffn_p["dwconv"]["kernel"],
+            ffn_p["project_out"]["kernel"],
+            bias_free=self.bias_free_ln)
 
 
 class OverlapPatchEmbed(nn.Module):

@@ -38,6 +38,7 @@ class TransformerStage(nn.Module):
     ffn_expansion_factor: float = 2.66
     use_bias: bool = False
     bias_free_ln: bool = False
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -48,6 +49,7 @@ class TransformerStage(nn.Module):
                 ffn_expansion_factor=self.ffn_expansion_factor,
                 use_bias=self.use_bias,
                 bias_free_ln=self.bias_free_ln,
+                fused=self.fused,
                 name=str(i),
             )(x)
         return x
@@ -75,6 +77,7 @@ class KDLAETeacher(nn.Module):
     dual_pixel_task: bool = False
     static: str = "train"  # 'train' enables the 2x SR branch
     params: str = "cat"  # 'cat' (denoise-rate conditioning) or 'none'
+    fused: bool = False  # Pallas LN+GDFN kernels (serving path)
 
     def setup(self):
         if self.params not in ("cat", "none"):
@@ -91,6 +94,7 @@ class KDLAETeacher(nn.Module):
             return TransformerStage(
                 dim=dim, num_heads=heads, num_blocks=blocks,
                 ffn_expansion_factor=ff, use_bias=b, bias_free_ln=bf,
+                fused=self.fused,
             )
 
         self.patch_embed = OverlapPatchEmbed(d, b)

@@ -1,0 +1,255 @@
+"""Pallas TPU kernel: fused LayerNorm -> GDFN -> residual.
+
+The GDFN (reference KDLAE/KDLAE_model.py:89-106) expands C channels to
+2F = 2*int(2.66*C), runs a 3x3 depthwise conv, gates, and projects back.
+Under XLA every stage round-trips HBM; at 512^2 x 96ch that is ~1.2 GB of
+traffic per block. This kernel computes the whole residual branch
+    out = x + W_out @ (gelu(t_1) * t_2),  t = dwconv3x3(W_in @ LN(x))
+per spatial tile with the 2F-channel intermediates living in VMEM:
+x is read once (with a 1-pixel halo from the pre-padded copy) and out is
+written once.
+
+Grid: (B, H/TH, W/TW). The input is zero-padded by 1 pixel outside so the
+depthwise conv's border behavior matches torch's padding=1, and halo reads
+need no in-kernel boundary conditionals; tiles overlap by 2 pixels, which
+plain BlockSpec index maps can't express, so the padded input stays in HBM
+(memory_space=ANY) and each tile DMAs its (TH+2, TW+2, C) window manually.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def supports_shape(h: int, w: int, c: int | None = None,
+                   expansion: float = 2.66) -> bool:
+    """True when fused_ln_gdfn can tile this shape within VMEM."""
+    if c is None:
+        return _pick_tile(h, 32) is not None and _pick_tile(w, 256) is not None
+    c_pad = -(-c // 128) * 128
+    f_pad = -(-int(c * expansion) // 128) * 128
+    return _pick_tiles(h, w, c_pad, f_pad) is not None
+
+
+def _erf_approx(x: jnp.ndarray) -> jnp.ndarray:
+    """Abramowitz-Stegun 7.1.26 erf, |error| < 1.5e-7 (fp32)."""
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _pick_tile(n: int, target: int) -> int | None:
+    """Largest multiple-of-8 divisor of n that is <= target (Mosaic DMA
+    slices must be 8-aligned on the sublane axis); None if none exists."""
+    t = min(n, target) // 8 * 8
+    while t >= 8:
+        if n % t == 0:
+            return t
+        t -= 8
+    return None
+
+
+_VMEM_BUDGET = 48 * 1024 * 1024  # leave headroom below the raised limit
+
+
+def _tile_bytes(th: int, tw: int, c_pad: int, f_pad: int) -> int:
+    """Rough upper bound of live fp32 intermediates + the bf16 DMA tile."""
+    halo = (th + 2) * (tw + 2)
+    return 4 * (halo * c_pad            # x fp32
+                + halo * 2 * f_pad      # t
+                + th * tw * 2 * f_pad   # acc
+                + th * tw * f_pad       # gate
+                + th * tw * c_pad       # out
+                ) + 2 * (th + 8) * (tw + 8) * c_pad  # DMA scratch bf16
+
+
+def _pick_tiles(h: int, w: int, c_pad: int, f_pad: int):
+    """(th, tw) fitting the VMEM budget; None when impossible."""
+    tw = _pick_tile(w, 256)
+    if tw is None:
+        return None
+    for target_h in (32, 24, 16, 8):
+        th = _pick_tile(h, target_h)
+        if th is None:
+            continue
+        t = tw
+        while t is not None and _tile_bytes(th, t, c_pad, f_pad) > _VMEM_BUDGET:
+            t = _pick_tile(w, t - 8) if t > 8 else None
+        if t is not None:
+            return th, t
+    return None
+
+
+def _kernel(x_hbm, ln_w, ln_b, w_in, w_dw, w_out, o_ref, x_vmem, sem,
+            *, th: int, tw: int, c: int, c_pad: int, f_pad: int,
+            bias_free: bool, ln_eps: float, apply_ln: bool):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+
+    # DMA an aligned (th+8, tw+8, c_pad) window (Mosaic requires slice
+    # sizes 8-aligned on the sublane axis and 128-aligned on the lane
+    # axis); the kernel uses the first th+2/tw+2 rows/cols = the
+    # 1-pixel-halo'd tile. Channels beyond c are zero padding.
+    copy = pltpu.make_async_copy(
+        x_hbm.at[b, pl.ds(i * th, th + 8), pl.ds(j * tw, tw + 8), :],
+        x_vmem, sem)
+    copy.start()
+    copy.wait()
+
+    x = x_vmem[:th + 2, :tw + 2, :].astype(jnp.float32)  # halo'd tile
+
+    if apply_ln:
+        # reductions divide by the REAL channel count c: the padded lanes
+        # are zero, so sum(x)/c and sum(x^2)/c - mean^2 are exact
+        mean = jnp.sum(x, axis=-1, keepdims=True) / c
+        var = jnp.sum(jnp.square(x), axis=-1, keepdims=True) / c - jnp.square(mean)
+        inv = jax.lax.rsqrt(var + ln_eps)
+        w = ln_w[:].astype(jnp.float32)  # zero on padded lanes
+        if bias_free:
+            xn = x * inv * w
+        else:
+            xn = (x - mean) * inv * w + ln_b[:].astype(jnp.float32)
+    else:
+        xn = x
+
+    # 1x1 expand: ((th+2)(tw+2), c_pad) @ (c_pad, 2*f_pad) on the MXU.
+    # The two gate halves are packed at 128-aligned offsets [0:f_pad) and
+    # [f_pad:2*f_pad) so the split below is lane-aligned.
+    t = jax.lax.dot_general(
+        xn.reshape((th + 2) * (tw + 2), c_pad).astype(jnp.bfloat16),
+        w_in[:],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(th + 2, tw + 2, 2 * f_pad)
+
+    # 3x3 depthwise as 9 shifted MACs on the VPU
+    dw = w_dw[:].astype(jnp.float32)  # (3, 3, 2*f_pad)
+    acc = jnp.zeros((th, tw, 2 * f_pad), jnp.float32)
+    for di in range(3):
+        for dj in range(3):
+            acc = acc + t[di:di + th, dj:dj + tw, :] * dw[di, dj, :]
+
+    x1 = acc[..., :f_pad]
+    x2 = acc[..., f_pad:]
+    # exact-GELU via erf; Mosaic has no erf primitive, so use the
+    # Abramowitz-Stegun 7.1.26 rational approximation (|err| < 1.5e-7,
+    # far below the kernel's bf16 matmul noise)
+    g = 0.5 * x1 * (1.0 + _erf_approx(x1 * (2.0 ** -0.5))) * x2
+
+    out = jax.lax.dot_general(
+        g.reshape(th * tw, f_pad).astype(jnp.bfloat16),
+        w_out[:],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(th, tw, c_pad)
+
+    residual = x[1:th + 1, 1:tw + 1, :]
+    o_ref[0] = (out + residual).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("bias_free", "apply_ln", "ln_eps", "interpret"))
+def fused_ln_gdfn(
+    x: jnp.ndarray,
+    ln_weight: jnp.ndarray,
+    ln_bias: jnp.ndarray | None,
+    w_in: jnp.ndarray,
+    w_dw: jnp.ndarray,
+    w_out: jnp.ndarray,
+    bias_free: bool = True,
+    apply_ln: bool = True,
+    ln_eps: float = 1e-5,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """out = x + GDFN(LN(x)).
+
+    Args:
+      x: (B, H, W, C) NHWC.
+      ln_weight/ln_bias: (C,) LayerNorm affine (bias None for BiasFree).
+      w_in:  (1, 1, C, 2F) or (C, 2F)   — project_in kernel (no bias).
+      w_dw:  (3, 3, 1, 2F) or (3, 3, 2F) — depthwise kernel.
+      w_out: (1, 1, F, C) or (F, C)     — project_out kernel.
+    """
+    bsz, h, w, c = x.shape
+    w_in = w_in.reshape(c, -1)
+    two_f = w_in.shape[1]
+    f = two_f // 2
+    w_dw = w_dw.reshape(3, 3, two_f)
+    w_out = w_out.reshape(f, c)
+    if ln_bias is None:
+        ln_bias = jnp.zeros((c,), jnp.float32)
+
+    # lane alignment: channels and each gate half padded to 128 multiples
+    c_pad = -(-c // 128) * 128
+    f_pad = -(-f // 128) * 128
+
+    tiles = _pick_tiles(h, w, c_pad, f_pad)
+    if tiles is None:
+        raise ValueError(
+            f"no VMEM-fitting 8-aligned tiling for H,W,C={h},{w},{c}; "
+            "caller should fall back to the XLA path (supports_shape())")
+    th, tw = tiles
+
+    # 1-pixel zero halo (torch padding=1 semantics) + alignment slack so
+    # every (th+8, tw+8) DMA window is in-bounds; zero channel padding
+    x_padded = jnp.pad(x, ((0, 0), (1, 7), (1, 7), (0, c_pad - c)))
+
+    def pad_lane(v, n, axis=-1):
+        widths = [(0, 0)] * v.ndim
+        widths[axis] = (0, n - v.shape[axis])
+        return jnp.pad(v, widths)
+
+    ln_w_p = pad_lane(ln_weight, c_pad)
+    ln_b_p = pad_lane(ln_bias, c_pad)
+    # pack gate halves at 128-aligned offsets: [0:f] and [f_pad:f_pad+f]
+    w_in_p = jnp.zeros((c_pad, 2 * f_pad), jnp.bfloat16)
+    w_in_p = w_in_p.at[:c, :f].set(w_in[:, :f].astype(jnp.bfloat16))
+    w_in_p = w_in_p.at[:c, f_pad:f_pad + f].set(w_in[:, f:].astype(jnp.bfloat16))
+    w_dw_p = jnp.zeros((3, 3, 2 * f_pad), w_dw.dtype)
+    w_dw_p = w_dw_p.at[:, :, :f].set(w_dw[:, :, :f])
+    w_dw_p = w_dw_p.at[:, :, f_pad:f_pad + f].set(w_dw[:, :, f:])
+    w_out_p = jnp.zeros((f_pad, c_pad), jnp.bfloat16)
+    w_out_p = w_out_p.at[:f, :c].set(w_out.astype(jnp.bfloat16))
+
+    grid = (bsz, h // th, w // tw)
+    kern = functools.partial(_kernel, th=th, tw=tw, c=c, c_pad=c_pad,
+                             f_pad=f_pad, bias_free=bias_free, ln_eps=ln_eps,
+                             apply_ln=apply_ln)
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((bsz, h, w, c_pad), x.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # padded x stays in HBM
+            pl.BlockSpec((c_pad,), lambda b, i, j: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_pad,), lambda b, i, j: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_pad, 2 * f_pad), lambda b, i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, 2 * f_pad), lambda b, i, j: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f_pad, c_pad), lambda b, i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, th, tw, c_pad), lambda b, i, j: (b, i, j, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((th + 8, tw + 8, c_pad), x.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x_padded, ln_w_p, ln_b_p, w_in_p, w_dw_p, w_out_p)
+    return out[..., :c] if c_pad != c else out

@@ -1,0 +1,181 @@
+"""ASDQE trainer — the quality-scorer training app.
+
+Port of Train/ASDQE.py (which ships broken: it imports a nonexistent
+``S_IQA_model`` module, ASDQE.py:15 — SURVEY.md §2.7). Behavior kept:
+Dataset_S_IQA triplets, 80/20 split, Adam lr 1e-3, MSE on the score,
+ReduceLROnPlateau, gradient accumulation (32), best/latest checkpointing.
+TPU mapping: the AMP GradScaler is unnecessary (bf16 compute has fp32
+range), so ``compute_dtype=bfloat16`` plays autocast's role with fp32
+params/optimizer; accumulation uses optax.MultiSteps; BatchNorm batch
+statistics update inside the train step (mutable collection).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..data.datasets import SIQADataset
+from ..data.loader import BatchLoader, EnlargedShuffleSampler
+from ..models import DenoiseRatePredictor
+from .checkpoints import save_weights
+
+
+class ReduceLROnPlateau:
+    """Host-side plateau LR controller (torch semantics: factor, patience,
+    min_lr). The current scale feeds the jitted step as a traced scalar."""
+
+    def __init__(self, factor: float = 0.5, patience: int = 5,
+                 min_scale: float = 1e-3):
+        self.factor = factor
+        self.patience = patience
+        self.min_scale = min_scale
+        self.best = float("inf")
+        self.bad_epochs = 0
+        self.scale = 1.0
+
+    def step(self, metric: float) -> float:
+        if metric < self.best - 1e-8:
+            self.best = metric
+            self.bad_epochs = 0
+        else:
+            self.bad_epochs += 1
+            if self.bad_epochs > self.patience:
+                self.scale = max(self.scale * self.factor, self.min_scale)
+                self.bad_epochs = 0
+        return self.scale
+
+
+def make_asdqe_train_step(model: DenoiseRatePredictor,
+                          optimizer: optax.GradientTransformation,
+                          compute_dtype=jnp.bfloat16):
+    """One accumulation micro-step: MSE(score, label) with BN stats update
+    and dropout active (train=True)."""
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, lq, gt, score, rng, lr_scale):
+        def loss_fn(p):
+            cast = (lambda t: t.astype(compute_dtype)) if compute_dtype else (lambda t: t)
+            out, mutated = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                cast(lq), cast(gt), train=True,
+                mutable=["batch_stats"], rngs={"dropout": rng})
+            pred = out.reshape(-1).astype(jnp.float32)
+            loss = jnp.mean(jnp.square(pred - score))
+            return loss, mutated["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        # plateau LR: scale the post-Adam update (equivalent to scaling lr)
+        updates = jax.tree.map(lambda u: u * lr_scale, updates)
+        params = optax.apply_updates(params, updates)
+        return params, new_stats, opt_state, loss
+
+    return step
+
+
+def train_asdqe(
+    dataset_opt: dict,
+    lr: float = 1e-3,
+    epochs: int = 10,
+    batch_size: int = 1,
+    accumulation_steps: int = 32,
+    gt_size: int | None = 256,
+    seed: int = 0,
+    out_dir: str | None = None,
+    compute_dtype=jnp.bfloat16,
+    log: Callable[[str], None] = print,
+    max_steps_per_epoch: int | None = None,
+) -> dict[str, Any]:
+    """Train the scorer; returns {'params', 'batch_stats', 'history'}."""
+    model = DenoiseRatePredictor()
+    rng = jax.random.PRNGKey(seed)
+    params_rng, dropout_rng = jax.random.split(rng)
+    variables = model.init(params_rng, jnp.zeros((1, 32, 32, 3)),
+                           jnp.zeros((1, 32, 32, 3)))
+    params, batch_stats = variables["params"], variables["batch_stats"]
+
+    ds_opt = dict(dataset_opt, phase="train", gt_size=gt_size, seed=seed)
+    dataset = SIQADataset(ds_opt)
+    n = len(dataset)
+    split_rng = np.random.default_rng(seed)
+    perm = split_rng.permutation(n)
+    train_idx, val_idx = perm[: int(0.8 * n)], perm[int(0.8 * n):]
+
+    class _Subset:
+        def __init__(self, base, idx):
+            self.base, self.idx = base, idx
+
+        def __len__(self):
+            return len(self.idx)
+
+        def __getitem__(self, i):
+            return self.base[int(self.idx[i])]
+
+        def set_epoch(self, e):
+            self.base.set_epoch(e)
+
+    base_tx = optax.adam(lr)
+    tx = optax.MultiSteps(base_tx, every_k_schedule=accumulation_steps)
+    opt_state = tx.init(params)
+    step_fn = make_asdqe_train_step(model, tx, compute_dtype)
+    plateau = ReduceLROnPlateau()
+
+    history = []
+    best_val = float("inf")
+    for epoch in range(epochs):
+        train_loader = BatchLoader(
+            _Subset(dataset, train_idx), batch_size,
+            EnlargedShuffleSampler(len(train_idx), seed=seed + epoch),
+            num_workers=2, drop_last=True)
+        train_loader.set_epoch(epoch)
+        losses = []
+        for k, batch in enumerate(train_loader):
+            if max_steps_per_epoch and k >= max_steps_per_epoch:
+                break
+            dropout_rng, sub = jax.random.split(dropout_rng)
+            params, batch_stats, opt_state, loss = step_fn(
+                params, batch_stats, opt_state,
+                jnp.asarray(batch["lq"]["img"]),
+                jnp.asarray(batch["gt"]["hq"]),
+                jnp.asarray(batch["lq"]["score"]),
+                sub, jnp.asarray(plateau.scale, jnp.float32))
+            losses.append(float(loss))
+
+        # validation (eval mode: running stats, no dropout)
+        val_losses = []
+        val_loader = BatchLoader(
+            _Subset(dataset, val_idx), batch_size,
+            EnlargedShuffleSampler(len(val_idx), shuffle=False),
+            num_workers=2, drop_last=False)
+        eval_fn = jax.jit(lambda p, bs, lq, gt: model.apply(
+            {"params": p, "batch_stats": bs}, lq, gt).reshape(-1))
+        for k, batch in enumerate(val_loader):
+            if max_steps_per_epoch and k >= max_steps_per_epoch:
+                break
+            pred = eval_fn(params, batch_stats,
+                           jnp.asarray(batch["lq"]["img"]),
+                           jnp.asarray(batch["gt"]["hq"]))
+            val_losses.append(float(jnp.mean(jnp.square(
+                pred - jnp.asarray(batch["lq"]["score"])))))
+        train_l = float(np.mean(losses)) if losses else float("nan")
+        val_l = float(np.mean(val_losses)) if val_losses else float("nan")
+        plateau.step(val_l)
+        history.append({"epoch": epoch, "train_mse": train_l,
+                        "val_mse": val_l, "lr_scale": plateau.scale})
+        log(f"[asdqe] epoch {epoch}: train_mse={train_l:.5f} "
+            f"val_mse={val_l:.5f} lr_scale={plateau.scale:.3f}")
+        if out_dir:
+            save_weights(out_dir, epoch, {"params": params,
+                                          "batch_stats": batch_stats})
+            if val_l < best_val:
+                best_val = val_l
+                save_weights(out_dir, 10**9, {"params": params,
+                                              "batch_stats": batch_stats})
+
+    return {"params": params, "batch_stats": batch_stats, "history": history}
