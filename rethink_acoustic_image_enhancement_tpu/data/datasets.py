@@ -238,24 +238,25 @@ class PairedMultiImageDataset(_SeededDataset):
         return len(self.paths)
 
     def _corrupt_train(self, lq: np.ndarray, rng: np.random.Generator) -> np.ndarray:
-        """lq: (H, W, F). paired_image_dataset.py:219-241."""
+        """lq: (H, W, F). paired_image_dataset.py:219-241. The per-frame
+        Bernoulli masking runs through the native C++ library when built
+        (utils/native.py), else vectorized numpy."""
+        from ..utils import native
+
         f = lq.shape[2]
         if rng.random() < 0.64:
-            for i in range(f):
-                if rng.random() > 0.64:
-                    lq[:, :, i] = input_mask_np(lq[:, :, i], rng,
-                                                self.prob + 0.5)
-                else:
-                    lq[:, :, i] = input_mask_np(lq[:, :, i], rng, self.prob)
+            probs = np.where(rng.random(f) > 0.64, self.prob + 0.5,
+                             self.prob).astype(np.float32)
         else:  # simulated frame interpolation
             assert f % 2 == 1, "frame count must be odd"
-            for i in range(f):
-                if i % 2 == 1:
-                    mean_img = 0.5 * (lq[:, :, i - 1] + lq[:, :, i + 1])
-                    lq[:, :, i] = input_mask_np(mean_img, rng, self.prob + 0.5)
-                else:
-                    lq[:, :, i] = input_mask_np(lq[:, :, i], rng, self.prob)
-        return lq
+            for i in range(1, f, 2):
+                lq[:, :, i] = 0.5 * (lq[:, :, i - 1] + lq[:, :, i + 1])
+            probs = np.where(np.arange(f) % 2 == 1, self.prob + 0.5,
+                             self.prob).astype(np.float32)
+        stack = np.ascontiguousarray(lq.transpose(2, 0, 1))
+        masked = native.mask_frames(stack, probs,
+                                    seed=int(rng.integers(2**62)))
+        return np.ascontiguousarray(masked.transpose(1, 2, 0))
 
     def __getitem__(self, index: int) -> dict[str, Any]:
         rng = self._rng(index)

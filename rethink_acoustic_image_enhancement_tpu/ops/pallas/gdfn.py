@@ -68,7 +68,7 @@ def _tile_bytes(th: int, tw: int, c_pad: int, f_pad: int) -> int:
                 + th * tw * 2 * f_pad   # acc
                 + th * tw * f_pad       # gate
                 + th * tw * c_pad       # out
-                ) + 2 * (th + 8) * (tw + 8) * c_pad  # DMA scratch bf16
+                ) + 2 * 2 * (th + 8) * (tw + 8) * c_pad  # 2-slot DMA scratch
 
 
 def _pick_tiles(h: int, w: int, c_pad: int, f_pad: int):
@@ -94,18 +94,41 @@ def _kernel(x_hbm, ln_w, ln_b, w_in, w_dw, w_out, o_ref, x_vmem, sem,
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
+    n_b, n_i, n_j = pl.num_programs(0), pl.num_programs(1), pl.num_programs(2)
 
-    # DMA an aligned (th+8, tw+8, c_pad) window (Mosaic requires slice
-    # sizes 8-aligned on the sublane axis and 128-aligned on the lane
-    # axis); the kernel uses the first th+2/tw+2 rows/cols = the
-    # 1-pixel-halo'd tile. Channels beyond c are zero padding.
-    copy = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(i * th, th + 8), pl.ds(j * tw, tw + 8), :],
-        x_vmem, sem)
-    copy.start()
-    copy.wait()
+    # Double-buffered halo DMA: the TPU grid runs sequentially per core, so
+    # scratch persists across steps — start the NEXT tile's copy before
+    # computing on the current one. Windows are (th+8, tw+8, c_pad):
+    # Mosaic requires slice sizes 8-aligned on the sublane axis and
+    # 128-aligned on the lane axis; the kernel uses the first th+2/tw+2
+    # rows/cols = the 1-pixel-halo'd tile. Channels beyond c are zeros.
+    step = (b * n_i + i) * n_j + j
+    slot = jax.lax.rem(step, 2)
+    next_slot = jax.lax.rem(step + 1, 2)
 
-    x = x_vmem[:th + 2, :tw + 2, :].astype(jnp.float32)  # halo'd tile
+    def dma(bb, ii, jj, s):
+        return pltpu.make_async_copy(
+            x_hbm.at[bb, pl.ds(ii * th, th + 8), pl.ds(jj * tw, tw + 8), :],
+            x_vmem.at[s], sem.at[s])
+
+    @pl.when(step == 0)
+    def _():
+        dma(b, i, j, slot).start()
+
+    # next tile's grid coordinates (row-major over (b, i, j))
+    jn = jax.lax.rem(j + 1, n_j)
+    carry_i = (j + 1) // n_j
+    in_ = jax.lax.rem(i + carry_i, n_i)
+    carry_b = (i + carry_i) // n_i
+    bn = jnp.minimum(b + carry_b, n_b - 1)
+
+    @pl.when(step + 1 < n_b * n_i * n_j)
+    def _():
+        dma(bn, in_, jn, next_slot).start()
+
+    dma(b, i, j, slot).wait()
+
+    x = x_vmem[slot, :th + 2, :tw + 2, :].astype(jnp.float32)  # halo'd tile
 
     if apply_ln:
         # reductions divide by the REAL channel count c: the padded lanes
@@ -245,8 +268,8 @@ def fused_ln_gdfn(
         out_specs=pl.BlockSpec((1, th, tw, c_pad), lambda b, i, j: (b, i, j, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((th + 8, tw + 8, c_pad), x.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, th + 8, tw + 8, c_pad), x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
