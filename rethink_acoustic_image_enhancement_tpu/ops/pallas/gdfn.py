@@ -128,7 +128,11 @@ def _kernel(x_hbm, ln_w, ln_b, w_in, w_dw, w_out, o_ref, x_vmem, sem,
 
     dma(b, i, j, slot).wait()
 
-    x = x_vmem[slot, :th + 2, :tw + 2, :].astype(jnp.float32)  # halo'd tile
+    # Compute LN + expand on the FULL aligned (th+8, tw+8) window: the
+    # flattened matmul shape then keeps 8-aligned dims everywhere, so
+    # Mosaic needs no relayout copies; the ~20% extra rows are cheap MXU
+    # work. The halo'd tile of interest is the first th+2/tw+2 rows/cols.
+    x = x_vmem[slot].astype(jnp.float32)  # (th+8, tw+8, c_pad)
 
     if apply_ln:
         # reductions divide by the REAL channel count c: the padded lanes
@@ -144,17 +148,17 @@ def _kernel(x_hbm, ln_w, ln_b, w_in, w_dw, w_out, o_ref, x_vmem, sem,
     else:
         xn = x
 
-    # 1x1 expand: ((th+2)(tw+2), c_pad) @ (c_pad, 2*f_pad) on the MXU.
+    # 1x1 expand: ((th+8)(tw+8), c_pad) @ (c_pad, 2*f_pad) on the MXU.
     # The two gate halves are packed at 128-aligned offsets [0:f_pad) and
     # [f_pad:2*f_pad) so the split below is lane-aligned.
     t = jax.lax.dot_general(
-        xn.reshape((th + 2) * (tw + 2), c_pad).astype(jnp.bfloat16),
+        xn.reshape((th + 8) * (tw + 8), c_pad).astype(jnp.bfloat16),
         w_in[:],
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).reshape(th + 2, tw + 2, 2 * f_pad)
+    ).astype(jnp.bfloat16).reshape(th + 8, tw + 8, 2 * f_pad)
 
-    # 3x3 depthwise as 9 shifted MACs on the VPU
+    # 3x3 depthwise as 9 shifted MACs on the VPU (bf16 reads, fp32 acc)
     dw = w_dw[:].astype(jnp.float32)  # (3, 3, 2*f_pad)
     acc = jnp.zeros((th, tw, 2 * f_pad), jnp.float32)
     for di in range(3):
