@@ -3,6 +3,7 @@
 
 from __future__ import annotations
 
+from .niqe import calculate_niqe  # noqa: F401
 from .psnr_ssim import (  # noqa: F401
     calculate_psnr,
     calculate_ssim,
@@ -13,6 +14,7 @@ METRICS = {
     "calculate_psnr": calculate_psnr,
     "calculate_ssim": calculate_ssim,
     "calculate_ssim_2d": calculate_ssim_2d,
+    "calculate_niqe": calculate_niqe,
 }
 
 

@@ -1,0 +1,83 @@
+"""NIQE parity vs the reference implementation (same pristine params)."""
+
+import importlib.util
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from rethink_acoustic_image_enhancement_tpu.metrics.niqe import (
+    calculate_niqe,
+    gaussian_window_7x7,
+)
+from tests.conftest import REFERENCE_ROOT, requires_reference
+
+PRIS = os.path.join(REFERENCE_ROOT, "Train", "basicsr", "metrics",
+                    "niqe_pris_params.npz")
+
+
+def test_gaussian_window_matches_shipped_params():
+    if not os.path.exists(PRIS):
+        pytest.skip("pris params not mounted")
+    shipped = np.load(PRIS)["gaussian_window"]
+    np.testing.assert_allclose(gaussian_window_7x7(), shipped, atol=1e-8)
+
+
+@requires_reference
+def test_niqe_parity_with_reference():
+    pytest.importorskip("cv2")
+    # load the reference niqe module with its intra-basicsr imports stubbed
+    for name in ["basicsr", "basicsr.metrics"]:
+        sys.modules.setdefault(name, types.ModuleType(name))
+    util_mod = types.ModuleType("basicsr.metrics.metric_util")
+
+    def reorder_image(img, input_order="HWC"):
+        return img
+
+    def to_y_channel(img):
+        img = img.astype(np.float32) / 255.0
+        coef = np.asarray([24.966, 128.553, 65.481])  # BGR order
+        return (img @ coef + 16.0)[..., None]
+
+    util_mod.reorder_image = reorder_image
+    util_mod.to_y_channel = to_y_channel
+    sys.modules["basicsr.metrics.metric_util"] = util_mod
+    # scipy>=1.15 removed scipy.ndimage.filters; alias it for the reference
+    import scipy.ndimage as _ndi
+
+    filters_mod = types.ModuleType("scipy.ndimage.filters")
+    filters_mod.convolve = _ndi.convolve
+    sys.modules.setdefault("scipy.ndimage.filters", filters_mod)
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_niqe", os.path.join(REFERENCE_ROOT, "Train", "basicsr",
+                                 "metrics", "niqe.py"))
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    pris = np.load(PRIS)
+    rng = np.random.default_rng(0)
+    # structured synthetic image (pure noise makes NIQE unstable): smooth
+    # gradients + texture, 2 x 2 blocks of 96
+    y, x = np.mgrid[0:192, 0:192]
+    img_gray = (
+        96 + 60 * np.sin(x / 17.0) * np.cos(y / 23.0)
+        + 25 * rng.standard_normal((192, 192))
+    ).clip(0, 255).astype(np.float32)
+
+    expected = ref.niqe(img_gray, pris["mu_pris_param"],
+                        pris["cov_pris_param"], pris["gaussian_window"])
+    got = calculate_niqe(img_gray, input_order="HW", pris_path=PRIS)
+    assert got == pytest.approx(float(expected), rel=1e-4)
+
+
+@requires_reference
+def test_niqe_rgb_path_runs():
+    rng = np.random.default_rng(1)
+    y, x = np.mgrid[0:96, 0:96]
+    base = (128 + 50 * np.sin(x / 11.0) + 20 * rng.standard_normal((96, 96)))
+    img = np.stack([base, base * 0.9, base * 0.8], axis=-1).clip(0, 255)
+    val = calculate_niqe(img.astype(np.float32), pris_path=PRIS)
+    assert np.isfinite(val) and val > 0
