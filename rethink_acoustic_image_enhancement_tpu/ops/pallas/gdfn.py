@@ -196,7 +196,7 @@ def fused_ln_gdfn(
     bias_free: bool = True,
     apply_ln: bool = True,
     ln_eps: float = 1e-5,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jnp.ndarray:
     """out = x + GDFN(LN(x)).
 
@@ -207,6 +207,9 @@ def fused_ln_gdfn(
       w_dw:  (3, 3, 1, 2F) or (3, 3, 2F) — depthwise kernel.
       w_out: (1, 1, F, C) or (F, C)     — project_out kernel.
     """
+    if interpret is None:
+        # Mosaic only lowers on TPU backends; interpret elsewhere (tests)
+        interpret = jax.default_backend() not in ("tpu", "axon")
     bsz, h, w, c = x.shape
     w_in = w_in.reshape(c, -1)
     two_f = w_in.shape[1]
