@@ -1,0 +1,86 @@
+"""Pretrained-weight fetcher + converter.
+
+Equivalent of the reference's utils/download_weights.py:27-53: downloads
+the five release weights from the upstream project's GitHub releases, then
+(new here) converts each .pth into a JAX/orbax checkpoint via the
+converters. Network access is required; in offline environments point
+``--from-dir`` at pre-downloaded .pth files.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import urllib.request
+
+_RELEASE = ("https://github.com/yangtaihong59/Rethink_Acoustic_Image_"
+            "Enhancement/releases/download/weight")
+
+WEIGHTS = {
+    "KDLAE_T.pth": ("KDLAE_teacher", "params"),
+    "KDLAE_T_L2Dice.pth": ("KDLAE_teacher", "params"),
+    "KDLAE-S-FLS.pth": ("KDLAE_student", "params"),
+    "KDLAE-S-US.pth": ("KDLAE_student", "params"),
+    "ASDQE.pth": ("DenoiseRatePredictor", None),
+}
+
+
+def download(name: str, dest_dir: str) -> str:
+    os.makedirs(dest_dir, exist_ok=True)
+    dest = os.path.join(dest_dir, name)
+    if os.path.exists(dest):
+        return dest
+    url = f"{_RELEASE}/{name}"
+    print(f"downloading {url}")
+    urllib.request.urlretrieve(url, dest)
+    return dest
+
+
+def convert_one(pth_path: str, arch: str, param_key: str | None,
+                out_dir: str) -> str:
+    import orbax.checkpoint as ocp
+
+    from ..convert.torch_import import CONVERTERS, load_pth_state_dict
+
+    sd = load_pth_state_dict(pth_path, param_key)
+    converted = CONVERTERS[arch](sd)
+    if arch == "DenoiseRatePredictor":
+        payload = {"params": converted[0], "batch_stats": converted[1]}
+    else:
+        payload = {"params": converted}
+    base = os.path.splitext(os.path.basename(pth_path))[0]
+    out = os.path.abspath(os.path.join(out_dir, base))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(out, payload, force=True)
+    ckptr.wait_until_finished()
+    print(f"converted {pth_path} [{arch}] -> {out}")
+    return out
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--dest", default="weights", help="output directory")
+    ap.add_argument("--from-dir", default=None,
+                    help="use pre-downloaded .pth files instead of fetching")
+    ap.add_argument("--no-convert", action="store_true")
+    args = ap.parse_args(argv)
+
+    for name, (arch, key) in WEIGHTS.items():
+        if args.from_dir:
+            pth = os.path.join(args.from_dir, name)
+            if not os.path.exists(pth):
+                print(f"skip {name}: not in {args.from_dir}")
+                continue
+        else:
+            try:
+                pth = download(name, os.path.join(args.dest, "pth"))
+            except Exception as e:  # offline env
+                print(f"skip {name}: download failed ({e})")
+                continue
+        if not args.no_convert:
+            convert_one(pth, arch, key, args.dest)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
