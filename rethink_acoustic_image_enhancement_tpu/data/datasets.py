@@ -339,11 +339,78 @@ class SIQADataset(_SeededDataset):
                 "lq_path": p["lq_path"], "gt_path": p["gt_path"]}
 
 
+class GaussianDenoisingDataset(_SeededDataset):
+    """Synthetic gaussian-noise dataset (Dataset_GaussianDenoising,
+    paired_image_dataset.py:1107-1247): clean images only; train-time noise
+    at sigma constant/random/choice, eval at fixed sigma_test (reference
+    seeds eval noise with numpy seed 0 per item — reproduced via the
+    deterministic per-index RNG with a fixed eval seed)."""
+
+    def __init__(self, opt: dict):
+        super().__init__(opt.get("seed", 0))
+        self.opt = opt
+        self.phase = opt.get("phase", "train")
+        self.scale = opt.get("scale", 1)
+        self.in_ch = opt.get("in_ch", 3)
+        self.geometric_augs = opt.get("geometric_augs", False)
+        if self.phase == "train":
+            self.sigma_type = opt["sigma_type"]
+            self.sigma_range = opt["sigma_range"]
+            assert self.sigma_type in ("constant", "random", "choice")
+        else:
+            self.sigma_test = opt["sigma_test"]
+        from .pairing import scan_files
+
+        root = opt["dataroot_gt"]
+        if opt.get("meta_info_file"):
+            with open(opt["meta_info_file"]) as f:
+                self.paths = [osp.join(root, line.split(" ")[0].strip())
+                              for line in f if line.strip()]
+        else:
+            self.paths = [osp.join(root, f) for f in scan_files(root)]
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def __getitem__(self, index: int) -> dict[str, Any]:
+        rng = self._rng(index)
+        path = self.paths[index % len(self.paths)]
+        if self.in_ch == 3:
+            img_gt = np.ascontiguousarray(imread_bgr(path)[..., ::-1])  # RGB
+        else:
+            img_gt = imread_gray(path)[..., None]
+        img_lq = img_gt.copy()
+
+        if self.phase == "train":
+            gt_size = self.opt["gt_size"]
+            img_lq, img_gt = pad_to_min_size(img_lq, img_gt, gt_size)
+            img_gt, img_lq = paired_random_crop(img_gt, img_lq, gt_size,
+                                                self.scale, rng)
+            if self.geometric_augs:
+                img_gt, img_lq = random_augmentation(img_gt, img_lq, rng=rng)
+            if self.sigma_type == "constant":
+                sigma = float(self.sigma_range)
+            elif self.sigma_type == "random":
+                sigma = float(rng.uniform(*self.sigma_range))
+            else:
+                sigma = float(rng.choice(self.sigma_range))
+            img_lq = img_lq + rng.standard_normal(img_lq.shape) * (sigma / 255.0)
+        else:
+            eval_rng = np.random.default_rng(0)
+            img_lq = img_lq + eval_rng.normal(
+                0, self.sigma_test / 255.0, img_lq.shape)
+
+        return {"lq": np.ascontiguousarray(img_lq.astype(np.float32)),
+                "gt": np.ascontiguousarray(img_gt.astype(np.float32)),
+                "lq_path": path, "gt_path": path}
+
+
 DATASETS = {
     "Dataset_PairedImage": PairedImageDataset,
     "Dataset_SuperRestoration_param": SuperRestorationParamDataset,
     "Dataset_PairedMutiImage": PairedMultiImageDataset,
     "Dataset_S_IQA": SIQADataset,
+    "Dataset_GaussianDenoising": GaussianDenoisingDataset,
 }
 
 

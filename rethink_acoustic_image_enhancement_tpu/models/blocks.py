@@ -107,10 +107,10 @@ class TransformerBlock(nn.Module):
         ffn = GDFN(self.dim, self.ffn_expansion_factor, self.use_bias, name="ffn")
         use_fused = self.fused and not self.use_bias and not self.is_initializing()
         if use_fused:
-            from ..ops.pallas.gdfn import fused_ln_gdfn, supports_shape
+            from ..ops.pallas.gdfn import fused_ln_gdfn, worthwhile
 
-            use_fused = supports_shape(x.shape[1], x.shape[2], self.dim,
-                                       self.ffn_expansion_factor)
+            use_fused = worthwhile(x.shape[1], x.shape[2], self.dim,
+                                   self.ffn_expansion_factor)
         if not use_fused:
             return x + ffn(norm2(x))
         # identical parameter tree to the unfused path; the kernel consumes

@@ -36,6 +36,18 @@ def supports_shape(h: int, w: int, c: int | None = None,
     return _pick_tiles(h, w, c_pad, f_pad) is not None
 
 
+def worthwhile(h: int, w: int, c: int, expansion: float = 2.66) -> bool:
+    """Measured-on-v5e policy for when the fused kernel beats XLA: the win
+    comes from HBM traffic, so it needs (a) a large spatial extent and (b)
+    small channel-padding overhead. At 512^2 x 96ch the kernel is ~36%
+    faster per block; at 48ch the 128-lane padding (2.7x) and at small
+    spatial extents the per-tile overheads make XLA the better choice."""
+    if not supports_shape(h, w, c, expansion):
+        return False
+    c_pad = -(-c // 128) * 128
+    return h * w >= 256 * 256 and (c_pad / c) <= 1.5
+
+
 def _erf_approx(x: jnp.ndarray) -> jnp.ndarray:
     """Abramowitz-Stegun 7.1.26 erf, |error| < 1.5e-7 (fp32)."""
     sign = jnp.sign(x)

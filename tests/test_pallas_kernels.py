@@ -45,6 +45,18 @@ def test_supports_shape_predicate():
     assert not supports_shape(7, 512)  # H has no mult-of-8 divisor
 
 
+def test_worthwhile_policy():
+    from rethink_acoustic_image_enhancement_tpu.ops.pallas.gdfn import (
+        worthwhile,
+    )
+
+    assert worthwhile(512, 512, 96)       # the measured 36% win case
+    assert worthwhile(256, 256, 96)
+    assert not worthwhile(512, 512, 48)   # 2.7x channel padding
+    assert not worthwhile(128, 128, 192)  # small spatial extent
+    assert not worthwhile(7, 512, 96)     # untileable
+
+
 def test_fused_layernorm_matches_xla():
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.normal(size=(1, 8, 16, 96)).astype(np.float32))
@@ -62,7 +74,8 @@ def test_fused_layernorm_matches_xla():
 
 def test_fused_model_flag_same_params_and_close_outputs():
     """fused=True must keep the identical parameter tree and agree with the
-    unfused model to bf16-kernel tolerance."""
+    unfused model (at this tiny size the worthwhile-policy falls back to
+    XLA, which exercises exactly that production fallback)."""
     kw = dict(dim=8, num_blocks=(1, 1, 1, 1), num_refinement_blocks=1,
               heads=(1, 2, 4, 8), layernorm_type="BiasFree",
               static="test", params="cat")
