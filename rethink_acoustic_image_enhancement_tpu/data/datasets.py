@@ -200,6 +200,63 @@ class SuperRestorationParamDataset(_SeededDataset):
         }
 
 
+class SuperRestorationDataset(SuperRestorationParamDataset):
+    """3-modality (lq/gt/sr) variant without the JSON param folder
+    (Dataset_SuperRestoration, paired_image_dataset.py:423-640): same
+    synchronized two-scale pad/crop/aug, denoise_rate fixed at 1."""
+
+    def __init__(self, opt: dict):
+        opt = dict(opt)
+        opt["denoise_rate"] = False
+        _SeededDataset.__init__(self, opt.get("seed", 0))
+        self.opt = opt
+        self.phase = opt.get("phase", "train")
+        self.scale = opt.get("scale", 1)
+        self.gt_size = opt.get("gt_size", 256)
+        self.sr_size = self.gt_size * self.SR_SCALE
+        self.geometric_augs = opt.get("geometric_augs", False)
+        self.use_denoise_rate = False
+        self.paths = paired_paths_from_folder_param(
+            [opt["dataroot_lq"], opt["dataroot_gt"], opt["dataroot_sr"]],
+            ["lq", "gt", "sr"])
+
+    def __getitem__(self, index: int):
+        p = self.paths[index % len(self.paths)]
+        rng = self._rng(index)
+        img_gt = self._read_img(p["gt_path"])
+        img_lq = self._read_img(p["lq_path"])
+        img_sr = self._read_img(p["sr_path"])
+        denoise_rate = 1.0
+
+        if self.phase == "train":
+            img_gt = _reflect101_pad_to(img_gt, self.gt_size + 2)
+            img_lq = _reflect101_pad_to(img_lq, self.gt_size + 2)
+            img_sr = _reflect101_pad_to(img_sr, self.sr_size + 4)
+            h, w = img_gt.shape[:2]
+            top = int(rng.integers(1, max(h - 1 - self.gt_size, 1) + 1))
+            left = int(rng.integers(1, max(w - 1 - self.gt_size, 1) + 1))
+            img_gt = img_gt[top:top + self.gt_size, left:left + self.gt_size]
+            img_lq = img_lq[top:top + self.gt_size, left:left + self.gt_size]
+            st, sl = top * self.SR_SCALE, left * self.SR_SCALE
+            img_sr = img_sr[st:st + self.sr_size, sl:sl + self.sr_size]
+            if rng.uniform() < 0.1:
+                img_lq = add_gaussian_noise(img_lq, rng)
+            if self.geometric_augs:
+                img_gt, img_lq, img_sr = sync_augment_multi_scale(
+                    [img_gt, img_lq, img_sr], rng)
+            zero_ratio = max(np.mean(img_lq == 0), np.mean(img_lq == 1))
+            if zero_ratio > 0.10:
+                img_lq = img_lq + 1e-14
+
+        rate_plane = np.full((*img_lq.shape[:2], 1), denoise_rate, np.float32)
+        to_rgb = lambda x: np.ascontiguousarray(x[..., ::-1].astype(np.float32))
+        return {
+            "lq": {"img": to_rgb(img_lq), "denoise_rate": rate_plane},
+            "gt": {"hq": to_rgb(img_gt), "sr": to_rgb(img_sr)},
+            "lq_path": p["lq_path"], "gt_path": p["gt_path"],
+        }
+
+
 class PairedMultiImageDataset(_SeededDataset):
     """The student dataset (Dataset_PairedMutiImage,
     paired_image_dataset.py:109-297): temporal groups of ``num_pairs``
@@ -408,6 +465,7 @@ class GaussianDenoisingDataset(_SeededDataset):
 DATASETS = {
     "Dataset_PairedImage": PairedImageDataset,
     "Dataset_SuperRestoration_param": SuperRestorationParamDataset,
+    "Dataset_SuperRestoration": SuperRestorationDataset,
     "Dataset_PairedMutiImage": PairedMultiImageDataset,
     "Dataset_S_IQA": SIQADataset,
     "Dataset_GaussianDenoising": GaussianDenoisingDataset,

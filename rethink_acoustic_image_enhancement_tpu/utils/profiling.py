@@ -1,0 +1,65 @@
+"""Tracing / profiling hooks.
+
+The reference's only observability is wall-clock iter/data timing in the
+train loop (train.py:241,364) plus `cudnn.benchmark` autotuning. Here:
+first-class jax.profiler traces (viewable in TensorBoard / Perfetto) and a
+step timer whose readings flow into MessageLogger fields.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Iterator
+
+
+@contextlib.contextmanager
+def trace(log_dir: str) -> Iterator[None]:
+    """Capture a device trace: ``with profiling.trace('/tmp/trace'): step()``."""
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def annotate(name: str):
+    """Named region that shows up in profiler timelines."""
+    import jax
+
+    return jax.profiler.TraceAnnotation(name)
+
+
+class StepTimer:
+    """Tracks iter/data times and an exponential moving average."""
+
+    def __init__(self, momentum: float = 0.9):
+        self.momentum = momentum
+        self.iter_time = 0.0
+        self.data_time = 0.0
+        self._avg_iter = None
+        self._mark = time.perf_counter()
+
+    def data_ready(self) -> None:
+        now = time.perf_counter()
+        self.data_time = now - self._mark
+        self._mark = now
+
+    def step_done(self) -> None:
+        now = time.perf_counter()
+        self.iter_time = now - self._mark
+        self._mark = now
+        if self._avg_iter is None:
+            self._avg_iter = self.iter_time
+        else:
+            self._avg_iter = (self.momentum * self._avg_iter
+                              + (1 - self.momentum) * self.iter_time)
+
+    @property
+    def avg_iter_time(self) -> float:
+        return self._avg_iter or 0.0
+
+    def eta_seconds(self, remaining_steps: int) -> float:
+        return self.avg_iter_time * remaining_steps

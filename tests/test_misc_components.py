@@ -1,0 +1,66 @@
+"""Tests for FID math, SuperRestoration (3-modality) dataset, profiling,
+parallel init helpers."""
+
+import os
+
+import numpy as np
+
+from rethink_acoustic_image_enhancement_tpu.data.datasets import create_dataset
+from rethink_acoustic_image_enhancement_tpu.metrics.fid import (
+    calculate_fid,
+    calculate_stats,
+    fid_between_feature_sets,
+)
+from rethink_acoustic_image_enhancement_tpu.parallel import is_master
+from rethink_acoustic_image_enhancement_tpu.utils.image_io import imwrite
+from rethink_acoustic_image_enhancement_tpu.utils.profiling import StepTimer
+
+
+def test_fid_identical_is_zero():
+    f = np.random.default_rng(0).normal(size=(200, 16))
+    mu, sigma = calculate_stats(f)
+    assert abs(calculate_fid(mu, sigma, mu, sigma)) < 1e-6
+
+
+def test_fid_orders_by_distribution_distance():
+    rng = np.random.default_rng(1)
+    base = rng.normal(size=(300, 8))
+    near = rng.normal(loc=0.1, size=(300, 8))
+    far = rng.normal(loc=2.0, size=(300, 8))
+    assert fid_between_feature_sets(base, near) < fid_between_feature_sets(base, far)
+
+
+def test_super_restoration_3modality(tmp_path):
+    for sub in ["lq", "gt", "sr"]:
+        os.makedirs(tmp_path / sub)
+    for i in range(3):
+        rng = np.random.default_rng(i)
+        img = (rng.uniform(0.1, 0.9, (40, 40, 3)) * 255).astype(np.uint8)
+        imwrite(str(tmp_path / "lq" / f"{i}.png"), img)
+        imwrite(str(tmp_path / "gt" / f"{i}.png"), img)
+        big = (rng.uniform(0.1, 0.9, (80, 80, 3)) * 255).astype(np.uint8)
+        imwrite(str(tmp_path / "sr" / f"{i}.png"), big)
+    ds = create_dataset({
+        "type": "Dataset_SuperRestoration",
+        "dataroot_lq": str(tmp_path / "lq"),
+        "dataroot_gt": str(tmp_path / "gt"),
+        "dataroot_sr": str(tmp_path / "sr"),
+        "phase": "train", "scale": 1, "gt_size": 32,
+        "geometric_augs": True, "seed": 0,
+    })
+    s = ds[0]
+    assert s["lq"]["img"].shape == (32, 32, 3)
+    assert s["gt"]["sr"].shape == (64, 64, 3)
+    np.testing.assert_allclose(s["lq"]["denoise_rate"], 1.0)
+
+
+def test_step_timer():
+    t = StepTimer()
+    t.data_ready()
+    t.step_done()
+    assert t.iter_time >= 0 and t.data_time >= 0
+    assert t.eta_seconds(10) >= 0
+
+
+def test_is_master_single_process():
+    assert is_master()
