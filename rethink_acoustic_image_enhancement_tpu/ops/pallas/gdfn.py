@@ -37,11 +37,18 @@ def supports_shape(h: int, w: int, c: int | None = None,
 
 
 def worthwhile(h: int, w: int, c: int, expansion: float = 2.66) -> bool:
-    """Measured-on-v5e policy for when the fused kernel beats XLA: the win
-    comes from HBM traffic, so it needs (a) a large spatial extent and (b)
-    small channel-padding overhead. At 512^2 x 96ch the kernel is ~36%
-    faster per block; at 48ch the 128-lane padding (2.7x) and at small
-    spatial extents the per-tile overheads make XLA the better choice."""
+    """Measured-on-v5e policy for when the fused kernel beats XLA.
+
+    Status (v5e, bf16, 512^2): in an ISOLATED stack of LN+GDFN blocks the
+    kernel wins clearly (1.95 vs 3.06 ms/block at 96ch). Inside the full
+    teacher, however, XLA wins (134 vs 171 ms end-to-end): the custom call
+    severs XLA's producer-consumer fusion with the surrounding attention
+    ops and adds pad/slice copies for the 128-lane channel padding. The
+    ``fused`` model flag therefore defaults to False; this predicate gates
+    where fusion is even plausible (large spatial extent, low channel-
+    padding overhead). Next step (round 2): widen the fusion boundary to
+    the whole transformer block so the attention epilogue feeds the kernel
+    directly instead of round-tripping HBM either side of it."""
     if not supports_shape(h, w, c, expansion):
         return False
     c_pad = -(-c // 128) * 128
