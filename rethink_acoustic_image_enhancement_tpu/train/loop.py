@@ -81,7 +81,7 @@ def build_everything(opt: dict, mesh=None):
     trainer = Trainer(
         apply_fn=lambda p, lq: model.apply({"params": p}, lq),
         loss_fn=loss_fn,
-        optimizer=build_optimizer(train_opt, schedule),
+        optimizer=build_optimizer(train_opt, schedule, params=params),
         schedule=schedule,
         mesh=mesh,
         ema_decay=train_opt.get("ema_decay", 0.0),

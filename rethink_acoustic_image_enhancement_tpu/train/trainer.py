@@ -47,8 +47,38 @@ class TrainState(struct.PyTreeNode):
     extra_variables: Any = struct.field(default_factory=dict)  # e.g. batch_stats
 
 
-def build_optimizer(train_opt: dict, schedule: Schedule) -> optax.GradientTransformation:
-    """From a reference-style ``train`` config section."""
+def _freeze_mask(params, freeze_except: list[str] | None,
+                 freeze: list[str] | None):
+    """Trainable mask over the param tree keyed on top-of-path prefixes.
+
+    The reference's teacher fine-tune intends to freeze all but
+    patch_embed + the enhance branch (the live-but-unused
+    freeze_except_patch_embed_and_enhance helper, train.py:24-55);
+    configure via ``train.freeze_except: [patch_embed, cen, upen, enhance,
+    outputen]`` or ``train.freeze: [...]``."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+
+    def trainable(path) -> bool:
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        if freeze_except is not None:
+            return any(name.startswith(p) for p in freeze_except)
+        return not any(name.startswith(p) for p in (freeze or []))
+
+    paths = {tuple(p): trainable(p) for p, _ in flat}
+
+    def mask_tree(tree):
+        flat2 = jax.tree_util.tree_flatten_with_path(tree)[0]
+        leaves = [paths[tuple(p)] for p, _ in flat2]
+        return jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(tree), leaves)
+
+    return mask_tree
+
+
+def build_optimizer(train_opt: dict, schedule: Schedule,
+                    params=None) -> optax.GradientTransformation:
+    """From a reference-style ``train`` config section. Pass ``params``
+    when using freeze/freeze_except (the mask is tree-structured)."""
     optim = dict(train_opt["optim_g"])
     kind = optim.pop("type")
     lr = optim.pop("lr")  # folded into `schedule`
@@ -67,7 +97,20 @@ def build_optimizer(train_opt: dict, schedule: Schedule) -> optax.GradientTransf
         chain.append(optax.clip_by_global_norm(
             train_opt.get("grad_clip_norm", REFERENCE_GRAD_CLIP)))
     chain.append(tx)
-    return optax.chain(*chain)
+    opt = optax.chain(*chain)
+
+    freeze_except = train_opt.get("freeze_except")
+    freeze = train_opt.get("freeze")
+    if freeze_except or freeze:
+        if params is None:
+            raise ValueError("freeze/freeze_except needs params to build "
+                             "the trainable mask")
+        mask_fn = _freeze_mask(params, freeze_except, freeze)
+        opt = optax.multi_transform(
+            {"train": opt, "frozen": optax.set_to_zero()},
+            lambda tree: jax.tree.map(
+                lambda flag: "train" if flag else "frozen", mask_fn(tree)))
+    return opt
 
 
 @dataclasses.dataclass
