@@ -45,11 +45,15 @@ def _cmd_test(args) -> int:
     model = build_network(opt["network_g"])
     params = load_weights(args.weights or opt["path"]["pretrain_network_g"],
                           opt.get("path", {}).get("param_key", "params"))
+    save_dir = None
+    if opt.get("val", {}).get("save_img"):
+        save_dir = opt["path"]["visualization"]
+        os.makedirs(save_dir, exist_ok=True)
     for phase, ds_opt in opt["datasets"].items():
         ds = create_dataset(ds_opt)
         loader = BatchLoader(ds, 1, EnlargedShuffleSampler(len(ds),
                              shuffle=False), num_workers=1, drop_last=False)
-        scores = validate_model(model, params, loader, opt)
+        scores = validate_model(model, params, loader, opt, save_dir=save_dir)
         print(f"[{ds_opt.get('name', phase)}] " + ", ".join(
             f"{k}={v:.4f}" for k, v in scores.items()))
     return 0

@@ -12,6 +12,7 @@ disabled via val_freq >> total_iter (SURVEY.md §3.5); fixed here.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Any, Callable
 
@@ -96,10 +97,19 @@ def build_everything(opt: dict, mesh=None):
 
 
 def validate_model(model, params, val_loader, opt,
-                   max_items: int | None = None) -> dict[str, float]:
-    """Dict-aware validation: pad to window_size, forward, crop, metrics."""
+                   max_items: int | None = None,
+                   save_dir: str | None = None) -> dict[str, float]:
+    """Dict-aware validation: pad to window_size, forward, crop, metrics.
+
+    Honors the reference val options (image_restoration_model.py:264-348):
+    ``use_image`` computes metrics on uint8-quantized images, ``save_img``
+    (via ``save_dir``) writes predictions, ``max_minibatch`` caps items.
+    """
     val_opt = opt.get("val", {})
     window = val_opt.get("window_size", 8)
+    use_image = val_opt.get("use_image", False)
+    if max_items is None and val_opt.get("max_minibatch"):
+        max_items = int(val_opt["max_minibatch"])
     metric_cfgs = val_opt.get("metrics", {"psnr": {
         "type": "calculate_psnr", "crop_border": 0, "test_y_channel": False}})
 
@@ -132,10 +142,26 @@ def validate_model(model, params, val_loader, opt,
             target = np.asarray(gt)
         pred = np.asarray(pred)
         for b in range(pred.shape[0]):
+            p_img, t_img = pred[b], target[b]
+            if use_image:
+                # metrics on quantized uint8 images, like the reference's
+                # tensor2img path (use_image: true)
+                from ..utils.image_io import to_ubyte
+
+                p_img = to_ubyte(p_img).astype(np.float32)
+                t_img = to_ubyte(t_img).astype(np.float32)
+            if save_dir is not None:
+                from ..utils.image_io import imwrite
+
+                name0 = os.path.basename(str(batch.get(
+                    "lq_path", [f"item{count}"])[b]))
+                out_img = p_img if p_img.ndim != 3 or p_img.shape[-1] in (1, 3) \
+                    else p_img[p_img.shape[0] // 2][..., None]
+                imwrite(os.path.join(save_dir, name0),
+                        out_img / 255.0 if use_image else out_img)
             for name, cfg in metric_cfgs.items():
                 cfg = dict(cfg)
                 fn = get_metric(cfg.pop("type"))
-                p_img, t_img = pred[b], target[b]
                 if p_img.ndim == 3 and p_img.shape[-1] not in (1, 3):
                     # frame stack (F, H, W): score frame-wise mean
                     vals = [fn(p_img[f][..., None], t_img[f][..., None], **cfg)

@@ -1,0 +1,69 @@
+"""validate_model detail parity: use_image quantization, save_img output,
+max_minibatch cap, dict-output (teacher) path."""
+
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from rethink_acoustic_image_enhancement_tpu.models import KDLAEStudent, KDLAETeacher
+from rethink_acoustic_image_enhancement_tpu.train.loop import validate_model
+
+
+class _FakeLoader:
+    def __init__(self, batches):
+        self.batches = batches
+
+    def __iter__(self):
+        return iter(self.batches)
+
+
+def _teacher_and_params():
+    model = KDLAETeacher(dim=8, num_blocks=(1, 1, 1, 1),
+                         num_refinement_blocks=1, heads=(1, 2, 4, 8),
+                         layernorm_type="BiasFree", static="test",
+                         params="cat")
+    params = model.init(
+        jax.random.PRNGKey(0),
+        {"img": jnp.zeros((1, 16, 16, 3)),
+         "denoise_rate": jnp.zeros((1, 16, 16, 1))})["params"]
+    return model, params
+
+
+def test_teacher_dict_validation_with_save_and_quantize(tmp_path):
+    model, params = _teacher_and_params()
+    rng = np.random.default_rng(0)
+    batches = []
+    for i in range(3):
+        img = rng.uniform(size=(1, 20, 28, 3)).astype(np.float32)
+        batches.append({
+            "lq": {"img": img,
+                   "denoise_rate": np.full((1, 20, 28, 1), 1.0, np.float32)},
+            "gt": {"hq": img.copy()},
+            "lq_path": [f"im{i}.png"],
+        })
+    opt = {"val": {"window_size": 8, "use_image": True, "max_minibatch": 2,
+                   "metrics": {"psnr": {"type": "calculate_psnr",
+                                        "crop_border": 0}}}}
+    save_dir = str(tmp_path / "vis")
+    os.makedirs(save_dir)
+    scores = validate_model(model, params, _FakeLoader(batches), opt,
+                            save_dir=save_dir)
+    assert np.isfinite(scores["psnr"])
+    # max_minibatch capped to 2 items -> 2 saved images
+    assert len(os.listdir(save_dir)) == 2
+
+
+def test_student_framestack_validation():
+    model = KDLAEStudent(residual=True, hidden_channels=(4, 8))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 16, 16)))["params"]
+    rng = np.random.default_rng(1)
+    x = rng.uniform(size=(1, 3, 20, 24)).astype(np.float32)
+    batches = [{"lq": x, "gt": x.copy(), "lq_path": ["s.png"]}]
+    opt = {"val": {"window_size": 4,
+                   "metrics": {"psnr": {"type": "calculate_psnr",
+                                        "crop_border": 0}}}}
+    scores = validate_model(model, params, _FakeLoader(batches), opt)
+    assert np.isfinite(scores["psnr"])
