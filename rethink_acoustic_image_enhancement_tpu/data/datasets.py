@@ -462,6 +462,89 @@ class GaussianDenoisingDataset(_SeededDataset):
                 "lq_path": path, "gt_path": path}
 
 
+class SingleImageDataset(_SeededDataset):
+    """LQ-only inference dataset (single_image_dataset.py): reads one
+    folder (or meta-info list), returns {'lq', 'lq_path'}."""
+
+    def __init__(self, opt: dict):
+        super().__init__(opt.get("seed", 0))
+        self.opt = opt
+        from .pairing import scan_files
+
+        root = opt["dataroot_lq"]
+        if opt.get("meta_info_file"):
+            with open(opt["meta_info_file"]) as f:
+                self.paths = [osp.join(root, line.split(" ")[0].strip())
+                              for line in f if line.strip()]
+        else:
+            self.paths = [osp.join(root, f) for f in scan_files(root)]
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def __getitem__(self, index: int) -> dict[str, Any]:
+        path = self.paths[index % len(self.paths)]
+        img = np.ascontiguousarray(imread_bgr(path)[..., ::-1])
+        return {"lq": img.astype(np.float32), "lq_path": path}
+
+
+def _imread_16bit(path: str) -> np.ndarray:
+    """16-bit-aware read -> float32 [0,1] BGR HWC (img_util.imfrombytesDP:
+    cv2.IMREAD_UNCHANGED then /65535)."""
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    if img is None:
+        raise IOError(f"failed to read image: {path}")
+    if img.dtype == np.uint16:
+        return img.astype(np.float32) / 65535.0
+    return img.astype(np.float32) / 255.0
+
+
+class DefocusDeblurDualPixel16Dataset(_SeededDataset):
+    """Dual-pixel defocus deblurring (Dataset_DefocusDeblur_DualPixel_16bit,
+    paired_image_dataset.py:1249-1336): 16-bit lqL/lqR/gt triplets, paired
+    crop/aug across all three, lq = concat(lqL, lqR) on channels (use with
+    the teacher's dual_pixel_task=True, inp_channels=6)."""
+
+    def __init__(self, opt: dict):
+        super().__init__(opt.get("seed", 0))
+        self.opt = opt
+        self.phase = opt.get("phase", "train")
+        self.scale = opt.get("scale", 1)
+        self.geometric_augs = opt.get("geometric_augs", False)
+        self.paths = paired_paths_from_folder(
+            [opt["dataroot_lqL"], opt["dataroot_lqR"], opt["dataroot_gt"]],
+            ["lqL", "lqR", "gt"], opt.get("filename_tmpl", "{}"))
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def __getitem__(self, index: int) -> dict[str, Any]:
+        rng = self._rng(index)
+        p = self.paths[index % len(self.paths)]
+        img_gt = _imread_16bit(p["gt_path"])
+        img_lql = _imread_16bit(p["lqL_path"])
+        img_lqr = _imread_16bit(p["lqR_path"])
+
+        if self.phase == "train":
+            gt_size = self.opt["gt_size"]
+            img_lql, img_gt = pad_to_min_size(img_lql, img_gt, gt_size)
+            img_lqr, _ = pad_to_min_size(img_lqr, img_lqr, gt_size)
+            # same crop window for all three (paired_random_crop_DP)
+            gts, lqs = paired_random_crop([img_gt], [img_lql, img_lqr],
+                                          gt_size, self.scale, rng)
+            img_gt, (img_lql, img_lqr) = gts[0], lqs
+            if self.geometric_augs:
+                img_lql, img_lqr, img_gt = random_augmentation(
+                    img_lql, img_lqr, img_gt, rng=rng)
+
+        to_rgb = lambda x: np.ascontiguousarray(x[..., ::-1].astype(np.float32))
+        lq = np.concatenate([to_rgb(img_lql), to_rgb(img_lqr)], axis=-1)
+        return {"lq": lq, "gt": to_rgb(img_gt),
+                "lq_path": p["lqL_path"], "gt_path": p["gt_path"]}
+
+
 DATASETS = {
     "Dataset_PairedImage": PairedImageDataset,
     "Dataset_SuperRestoration_param": SuperRestorationParamDataset,
@@ -469,6 +552,8 @@ DATASETS = {
     "Dataset_PairedMutiImage": PairedMultiImageDataset,
     "Dataset_S_IQA": SIQADataset,
     "Dataset_GaussianDenoising": GaussianDenoisingDataset,
+    "Dataset_SingleImage": SingleImageDataset,
+    "Dataset_DefocusDeblur_DualPixel_16bit": DefocusDeblurDualPixel16Dataset,
 }
 
 

@@ -1,0 +1,105 @@
+"""Extended benchmark suite — the BASELINE.json configs measured on-chip.
+
+Writes BENCH_SUITE.json with per-config throughput:
+  * KDLAE-T 512px denoise (bf16 + fp32, batch 1) — the headline (bench.py)
+  * KDLAE-T 'train' mode (denoise + 2x SR head)
+  * KDLAE-S 7-frame stacks at batch 32 (the BASELINE student config)
+  * ASDQE pairwise scoring at 512px
+
+Sync is via scalar fetch (block_until_ready is a no-op on this platform).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from rethink_acoustic_image_enhancement_tpu.models import (
+    DenoiseRatePredictor,
+    KDLAEStudent,
+    KDLAETeacher,
+)
+
+
+def timed(fn, args, n=8, warmup=2):
+    for _ in range(warmup):
+        float(jnp.asarray(fn(*args)).mean())
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = [fn(*args) for _ in range(n)]
+        float(jnp.asarray(outs[-1]).mean())
+        times.append((time.perf_counter() - t0) / n)
+    return min(times)
+
+
+def main():
+    results = {}
+    rng = np.random.default_rng(0)
+
+    # ---- teacher
+    def teacher(static, dtype, batch=1, size=512):
+        m = KDLAETeacher(dim=48, num_blocks=(4, 6, 6, 8),
+                         num_refinement_blocks=4, heads=(1, 2, 4, 8),
+                         layernorm_type="BiasFree", static=static,
+                         params="cat")
+        params = jax.jit(lambda: m.init(
+            jax.random.PRNGKey(0),
+            {"img": jnp.zeros((1, 64, 64, 3)),
+             "denoise_rate": jnp.zeros((1, 64, 64, 1))})["params"])()
+        params = jax.tree.map(lambda v: v.astype(dtype), params)
+        img = jnp.asarray(rng.random((batch, size, size, 3)), dtype)
+        rate = jnp.full((batch, size, size, 1), 1.0, dtype)
+
+        def fwd(p, i, r):
+            out = m.apply({"params": p}, {"img": i, "denoise_rate": r})
+            if out["sr"] is not None:
+                return jnp.clip(out["hq"], 0, 1).mean() + out["sr"].mean()
+            return jnp.clip(out["hq"], 0, 1).mean()
+
+        fn = jax.jit(fwd)
+        dt = timed(fn, (params, img, rate))
+        return batch / dt
+
+    results["kdlae_t_512_denoise_bf16"] = teacher("test", jnp.bfloat16)
+    results["kdlae_t_512_denoise_fp32"] = teacher("test", jnp.float32)
+    results["kdlae_t_512_denoise_sr_bf16"] = teacher("train", jnp.bfloat16)
+
+    # ---- student: KDLAE-S batch 32, 7 frames, 256px (CAMUS-scale)
+    sm = KDLAEStudent(residual=True, hidden_channels=(16, 32, 64))
+    s_params = jax.jit(lambda: sm.init(jax.random.PRNGKey(0),
+                                       jnp.zeros((1, 7, 32, 32)))["params"])()
+    for dtype, tag in [(jnp.bfloat16, "bf16"), (jnp.float32, "fp32")]:
+        p = jax.tree.map(lambda v: v.astype(dtype), s_params)
+        x = jnp.asarray(rng.random((32, 7, 256, 256)), dtype)
+        fn = jax.jit(lambda p, x: jnp.clip(sm.apply({"params": p}, x), 0, 1).mean())
+        dt = timed(fn, (p, x))
+        results[f"kdlae_s_256_b32_{tag}_stacks_per_s"] = 32 / dt
+        results[f"kdlae_s_256_b32_{tag}_frames_per_s"] = 32 * 7 / dt
+
+    # ---- ASDQE 512px pair scoring
+    am = DenoiseRatePredictor()
+    variables = jax.jit(lambda: am.init(jax.random.PRNGKey(0),
+                                        jnp.zeros((1, 64, 64, 3)),
+                                        jnp.zeros((1, 64, 64, 3))))()
+    lq = jnp.asarray(rng.random((4, 512, 512, 3)), jnp.float32)
+    gt = jnp.asarray(rng.random((4, 512, 512, 3)), jnp.float32)
+    fn = jax.jit(lambda v, a, b: am.apply(v, a, b).mean())
+    dt = timed(fn, (variables, lq, gt))
+    results["asdqe_512_b4_fp32_pairs_per_s"] = 4 / dt
+
+    results = {k: round(v, 3) for k, v in results.items()}
+    with open("BENCH_SUITE.json", "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()
