@@ -545,6 +545,22 @@ class DefocusDeblurDualPixel16Dataset(_SeededDataset):
                 "lq_path": p["lqL_path"], "gt_path": p["gt_path"]}
 
 
+def _video_datasets():
+    from .video_datasets import (
+        FFHQDataset,
+        REDSDataset,
+        VideoTestDataset,
+        Vimeo90KDataset,
+    )
+
+    return {
+        "REDSDataset": REDSDataset,
+        "Vimeo90KDataset": Vimeo90KDataset,
+        "VideoTestDataset": VideoTestDataset,
+        "FFHQDataset": FFHQDataset,
+    }
+
+
 DATASETS = {
     "Dataset_PairedImage": PairedImageDataset,
     "Dataset_SuperRestoration_param": SuperRestorationParamDataset,
@@ -555,6 +571,7 @@ DATASETS = {
     "Dataset_SingleImage": SingleImageDataset,
     "Dataset_DefocusDeblur_DualPixel_16bit": DefocusDeblurDualPixel16Dataset,
 }
+DATASETS.update(_video_datasets())
 
 
 def create_dataset(opt: dict):
