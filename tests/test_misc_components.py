@@ -64,3 +64,22 @@ def test_step_timer():
 
 def test_is_master_single_process():
     assert is_master()
+
+
+def test_bundle_submissions(tmp_path):
+    import scipy.io as sio
+
+    from rethink_acoustic_image_enhancement_tpu.eval.bundle_submissions import (
+        bundle_submissions_srgb,
+    )
+
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        for bb in range(3):
+            sio.savemat(str(tmp_path / f"{i+1:04d}_{bb+1:02d}.mat"),
+                        {"Idenoised_crop": rng.random((4, 4, 3))})
+    out = bundle_submissions_srgb(str(tmp_path), "bundled",
+                                  num_images=2, num_blocks=3)
+    bundled = sio.loadmat(os.path.join(out, "0001.mat"))
+    assert bundled["Idenoised"].shape[-1] == 3
+    assert bundled["israw"] == False  # noqa: E712
