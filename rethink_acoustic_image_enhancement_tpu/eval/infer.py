@@ -148,7 +148,12 @@ class StudentPredictor:
 
 @dataclass
 class ASDQEScorer:
-    """Pairwise quality scorer (ASDQE_test.py infer loop)."""
+    """Pairwise quality scorer (ASDQE_test.py infer loop).
+
+    The fp32 path pins matmul precision to 'highest' so TPU fp32 matches
+    the reference's CPU fp32 numerics (BASELINE.md's ASDQE-parity target —
+    default TPU fp32 matmuls use bf16x3 passes otherwise).
+    """
 
     variables: Any  # {'params': ..., 'batch_stats': ...}
     model: DenoiseRatePredictor = field(default_factory=DenoiseRatePredictor)
@@ -158,6 +163,9 @@ class ASDQEScorer:
         self._apply = jax.jit(self._forward)
 
     def _forward(self, variables, lq, gt):
+        if self.dtype == jnp.float32:
+            with jax.default_matmul_precision("highest"):
+                return self.model.apply(variables, lq, gt)
         return self.model.apply(variables, lq, gt)
 
     def __call__(self, lq: np.ndarray, gt: np.ndarray) -> np.ndarray:
