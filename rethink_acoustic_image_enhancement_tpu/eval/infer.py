@@ -34,6 +34,12 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _nullcontext():
+    import contextlib
+
+    return contextlib.nullcontext()
+
+
 def _pad_reflect_np(x: np.ndarray, ph: int, pw: int, axes=(1, 2)) -> np.ndarray:
     if ph == 0 and pw == 0:
         return x
@@ -58,11 +64,16 @@ class TeacherPredictor:
         self._apply = functools.partial(jax.jit(self._forward))
 
     def _forward(self, params, img, rate_plane):
-        out = self.model.apply({"params": params},
-                               {"img": img, "denoise_rate": rate_plane})
-        hq = jnp.clip(out["hq"], 0.0, 1.0)
-        sr = None if out["sr"] is None else jnp.clip(out["sr"], 0.0, 1.0)
-        return hq, sr
+        # fp32 quality path pins matmul precision so TPU fp32 matches the
+        # reference's CPU numerics (see ASDQEScorer)
+        ctx = (jax.default_matmul_precision("highest")
+               if self.dtype == jnp.float32 else _nullcontext())
+        with ctx:
+            out = self.model.apply({"params": params},
+                                   {"img": img, "denoise_rate": rate_plane})
+            hq = jnp.clip(out["hq"], 0.0, 1.0)
+            sr = None if out["sr"] is None else jnp.clip(out["sr"], 0.0, 1.0)
+            return hq, sr
 
     def __call__(self, img_rgb: np.ndarray, denoise_rate: float = 1.0,
                  zero_mask: bool = True):
