@@ -226,10 +226,22 @@ def train_from_config(opt: dict, mesh=None, max_iters: int | None = None,
             num_workers=1, drop_last=False)
         val_loader = val_loader_factory
 
+    # double-buffered host->device pipeline: the prefetch thread places
+    # array leaves on the trainer's mesh while the previous step computes
+    # (the CUDAPrefetcher equivalent; critical here — tunnel H2D is slow)
+    from ..data.loader import device_put_batch
+
+    def _put(b):
+        arrays = {k: v for k, v in b.items() if isinstance(v, np.ndarray)
+                  or isinstance(v, dict)}
+        rest = {k: v for k, v in b.items() if k not in arrays}
+        placed = device_put_batch(trainer.mesh, arrays)
+        return {**placed, **rest}
+
     t_data = time.time()
     while current_iter < total_iters:
         loader.set_epoch(epoch)
-        for batch in DevicePrefetcher(iter(loader), put=lambda b: b):
+        for batch in DevicePrefetcher(iter(loader), put=_put):
             if current_iter >= total_iters:
                 break
             current_iter += 1
