@@ -57,7 +57,12 @@ class TeacherPredictor:
     model: KDLAETeacher = field(default_factory=lambda: KDLAETeacher(
         layernorm_type="BiasFree", static="train", params="cat"))
     multiple_of: int = 8
-    shape_bucket: int | None = None  # e.g. 64 to cap recompiles
+    # shape_bucket rounds padded sizes up to a coarser grid so arbitrary
+    # folders hit a handful of compiled programs. NB: MDTA attention is
+    # global over the padded pixels, so bucketed outputs deviate slightly
+    # from exact multiple-of-8 padding (the reference notebook semantics);
+    # leave None for reference-exact behavior.
+    shape_bucket: int | None = None
     dtype: Any = jnp.float32
 
     def __post_init__(self):
