@@ -359,7 +359,9 @@ class PairedMultiImageDataset(_SeededDataset):
 class SIQADataset(_SeededDataset):
     """ASDQE training dataset (Dataset_S_IQA,
     paired_image_dataset.py:643-855): lq/gt/param triplets, JSON 'score'
-    label; returns {'lq': {'img', 'score'}, 'gt': {'hq'}}."""
+    label; reflect101 pad to gt_size, joint crop at offsets in
+    [1, h-1-size], synchronized flip/flip/rot aug; returns
+    {'lq': {'img', 'score'}, 'gt': {'hq'}}."""
 
     def __init__(self, opt: dict):
         super().__init__(opt.get("seed", 0))
@@ -383,11 +385,18 @@ class SIQADataset(_SeededDataset):
             score = float(json.load(f)["score"])
 
         if self.phase == "train" and self.gt_size:
-            img_lq, img_gt = pad_to_min_size(img_lq, img_gt, self.gt_size)
-            img_gt, img_lq = paired_random_crop(img_gt, img_lq, self.gt_size,
-                                                1, rng)
+            # reflect101 pad + joint crop at offsets in [1, h-1-size]
+            # (paired_image_dataset.py:770-803), like the teacher dataset
+            img_gt = _reflect101_pad_to(img_gt, self.gt_size + 2)
+            img_lq = _reflect101_pad_to(img_lq, self.gt_size + 2)
+            h, w = img_gt.shape[:2]
+            top = int(rng.integers(1, max(h - 1 - self.gt_size, 1) + 1))
+            left = int(rng.integers(1, max(w - 1 - self.gt_size, 1) + 1))
+            img_gt = img_gt[top:top + self.gt_size, left:left + self.gt_size]
+            img_lq = img_lq[top:top + self.gt_size, left:left + self.gt_size]
             if self.geometric_augs:
-                img_gt, img_lq = random_augmentation(img_gt, img_lq, rng=rng)
+                img_gt, img_lq = sync_augment_multi_scale([img_gt, img_lq],
+                                                          rng)
 
         to_rgb = lambda x: np.ascontiguousarray(x[..., ::-1].astype(np.float32))
         return {"lq": {"img": to_rgb(img_lq),
