@@ -162,31 +162,37 @@ class TransformerBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = x + MDTA(self.dim, self.num_heads, self.use_bias, name="attn")(
-            ChannelLayerNorm(self.dim, self.bias_free_ln, name="norm1")(x)
-        )
+        norm1 = ChannelLayerNorm(self.dim, self.bias_free_ln, name="norm1")
+        attn = MDTA(self.dim, self.num_heads, self.use_bias, name="attn")
         norm2 = ChannelLayerNorm(self.dim, self.bias_free_ln, name="norm2")
         ffn = GDFN(self.dim, self.ffn_expansion_factor, self.use_bias, name="ffn")
-        use_fused = self.fused and not self.use_bias and not self.is_initializing()
-        if use_fused:
-            from ..ops.pallas.gdfn import fused_ln_gdfn, worthwhile
 
-            use_fused = worthwhile(x.shape[1], x.shape[2], self.dim,
-                                   self.ffn_expansion_factor)
-        if not use_fused:
-            return x + ffn(norm2(x))
-        # identical parameter tree to the unfused path; the kernel consumes
-        # the submodule weights directly
-        ln_p = self.variables["params"]["norm2"]
-        ffn_p = self.variables["params"]["ffn"]
-        from ..ops.pallas.gdfn import fused_ln_gdfn
+        use_mega = self.fused and not self.is_initializing()
+        if use_mega:
+            from ..ops.pallas.block import mega_worthwhile
 
-        return fused_ln_gdfn(
-            x, ln_p["weight"], ln_p.get("bias"),
-            ffn_p["project_in"]["kernel"],
-            ffn_p["dwconv"]["kernel"],
-            ffn_p["project_out"]["kernel"],
-            bias_free=self.bias_free_ln)
+            use_mega = mega_worthwhile(
+                x.shape[0], x.shape[1], x.shape[2], self.dim,
+                self.num_heads, self.bias_free_ln, self.use_bias,
+                self.ffn_expansion_factor)
+        if use_mega:
+            # whole-block Pallas megakernel; identical parameter tree —
+            # the kernel consumes the submodule weights directly
+            from ..ops.pallas.block import fused_transformer_block
+
+            p = self.variables["params"]
+            return fused_transformer_block(
+                x,
+                p["norm1"]["weight"], p["norm1"].get("bias"),
+                p["attn"]["qkv"]["kernel"], p["attn"]["qkv_dwconv"]["kernel"],
+                p["attn"]["temperature"], p["attn"]["project_out"]["kernel"],
+                p["norm2"]["weight"], p["norm2"].get("bias"),
+                p["ffn"]["project_in"]["kernel"], p["ffn"]["dwconv"]["kernel"],
+                p["ffn"]["project_out"]["kernel"],
+                bias_free=self.bias_free_ln)
+
+        x = x + attn(norm1(x))
+        return x + ffn(norm2(x))
 
 
 class OverlapPatchEmbed(nn.Module):
