@@ -88,7 +88,7 @@ def _kernel(x_hbm, ln1_w, w_qkv, dw_qkv, temp, w_proj,
         kn[...] = jnp.zeros_like(kn)
 
     # ---- LN1 + packed qkv + depthwise (identical math to block.py)
-    xn = _layernorm(x, ln1_w[0].astype(jnp.float32), None, c, ln_eps, True)
+    xn = _layernorm(x, ln1_w[0, 0].astype(jnp.float32), None, c, ln_eps, True)
     t = jax.lax.dot_general(
         xn.reshape((th + 8) * (tw + 8), c_pad).astype(jnp.bfloat16),
         w_qkv[0],
@@ -122,7 +122,7 @@ def _kernel(x_hbm, ln1_w, w_qkv, dw_qkv, temp, w_proj,
         qnorm = jnp.maximum(jnp.sqrt(qn[...]), _L2_EPS)
         knorm = jnp.maximum(jnp.sqrt(kn[...]), _L2_EPS)
         logits = gram[...] / qnorm.reshape(c_pad, 1) / knorm.reshape(1, c_pad)
-        logits = logits * temp[0, 0]
+        logits = logits * temp[0, 0, 0]
         lane = jax.lax.broadcasted_iota(jnp.int32, (c_pad, c_pad), 1)
         logits = jnp.where(lane < c, logits, -1e30)
         m = jnp.max(logits, axis=-1, keepdims=True)
@@ -142,7 +142,7 @@ def _kernel(x_hbm, ln1_w, w_qkv, dw_qkv, temp, w_proj,
 
         r = x[1:th + 3, 1:tw + 3, :] + proj
 
-        rn = _layernorm(r, ln2_w[0].astype(jnp.float32), None, c, ln_eps, True)
+        rn = _layernorm(r, ln2_w[0, 0].astype(jnp.float32), None, c, ln_eps, True)
         # zero the outside-image ring (torch zero-pads the GDFN dwconv
         # input); interior tile seams keep their true halo
         row_ids = (jax.lax.broadcasted_iota(jnp.int32, (th + 2, tw + 2), 0)
@@ -259,8 +259,11 @@ def fused_transformer_stage(
     w_dw_p = w_dw_p.at[:, :, :, f_pad:f_pad + f].set(w_dw[:, :, :, f:])
     w_out_p = jnp.zeros((n_blocks, f_pad, c_pad), jnp.bfloat16)
     w_out_p = w_out_p.at[:, :f, :c].set(w_out.astype(jnp.bfloat16))
-    ln1_w_p = pad_lane2(ln1_w, c_pad)
-    ln2_w_p = pad_lane2(ln2_w, c_pad)
+    # 1-D per-block vectors need a unit sublane dim so the (1, 1, c_pad)
+    # block shape satisfies Mosaic's last-two-dims rule
+    ln1_w_p = pad_lane2(ln1_w, c_pad).reshape(n_blocks, 1, c_pad)
+    ln2_w_p = pad_lane2(ln2_w, c_pad).reshape(n_blocks, 1, c_pad)
+    temp = temp.reshape(n_blocks, 1, 1)
 
     def wspec(*shape):
         return pl.BlockSpec((1, *shape),
@@ -277,12 +280,12 @@ def fused_transformer_stage(
         grid=(n_blocks, 2, n_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # x
-            wspec(c_pad),                        # ln1_w
+            wspec(1, c_pad),                     # ln1_w
             wspec(c_pad, 3 * c_pad),             # w_qkv
             wspec(3, 3, 3 * c_pad),              # dw_qkv
-            wspec(1),                            # temperature
+            wspec(1, 1),                         # temperature
             wspec(c_pad, c_pad),                 # w_proj
-            wspec(c_pad),                        # ln2_w
+            wspec(1, c_pad),                     # ln2_w
             wspec(c_pad, 2 * f_pad),             # w_in
             wspec(3, 3, 2 * f_pad),              # w_dw
             wspec(f_pad, c_pad),                 # w_out
