@@ -42,6 +42,35 @@ class TransformerStage(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        use_stage = self.fused and not self.is_initializing()
+        if use_stage:
+            from ..ops.pallas.block import mega_worthwhile
+
+            use_stage = mega_worthwhile(
+                x.shape[0], x.shape[1], x.shape[2], self.dim,
+                self.num_heads, self.bias_free_ln, self.use_bias,
+                self.ffn_expansion_factor)
+        if use_stage:
+            # the whole stage in ONE pallas call (see ops/pallas/stage.py):
+            # one layout transition in/out instead of per block
+            from ..ops.pallas.stage import (
+                fused_transformer_stage,
+                stack_block_params,
+            )
+
+            # declare the blocks so the param tree is identical, but run
+            # the stacked kernel on their weights
+            for i in range(self.num_blocks):
+                TransformerBlock(
+                    dim=self.dim, num_heads=self.num_heads,
+                    ffn_expansion_factor=self.ffn_expansion_factor,
+                    use_bias=self.use_bias, bias_free_ln=self.bias_free_ln,
+                    fused=False, name=str(i))
+            p = self.variables["params"]
+            stacked = stack_block_params([p[str(i)]
+                                          for i in range(self.num_blocks)])
+            return fused_transformer_stage(x, **stacked)
+
         for i in range(self.num_blocks):
             x = TransformerBlock(
                 dim=self.dim,
@@ -49,7 +78,7 @@ class TransformerStage(nn.Module):
                 ffn_expansion_factor=self.ffn_expansion_factor,
                 use_bias=self.use_bias,
                 bias_free_ln=self.bias_free_ln,
-                fused=self.fused,
+                fused=False,  # stage-level fusion supersedes per-block
                 name=str(i),
             )(x)
         return x

@@ -316,8 +316,8 @@ def fused_transformer_stage(
 
 def stack_block_params(params_list):
     """Stack a list of TransformerBlock param trees (norm1/attn/norm2/ffn)
-    into the stage kernel's stacked-weight arguments."""
-    import numpy as np
+    into the stage kernel's stacked-weight arguments (traceable: usable
+    inside jit/flax apply)."""
 
     def stk(path):
         vals = []
@@ -325,8 +325,8 @@ def stack_block_params(params_list):
             node = p
             for key in path:
                 node = node[key]
-            vals.append(np.asarray(node))
-        return jnp.asarray(np.stack(vals))
+            vals.append(jnp.asarray(node))
+        return jnp.stack(vals)
 
     return dict(
         ln1_w=stk(("norm1", "weight")),
