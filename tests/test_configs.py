@@ -1,4 +1,7 @@
-"""Every shipped config must parse and validate against the registries."""
+"""Every shipped config must parse, validate, and BUILD its network + loss +
+schedule — the full 11-config paper202508 surface is mirrored 1:1
+(Train/Denoising/Options/paper202508/*.yml), including the reference's two
+dead configs, which must fail fast instead of deep inside training."""
 
 import glob
 import os
@@ -10,14 +13,70 @@ from rethink_acoustic_image_enhancement_tpu.train.config import parse, validate
 CONFIG_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "configs")
 
+# Reference defects preserved faithfully (SURVEY.md §5.6):
+#  - 01_2 names a class that exists nowhere (RestormerSuperResolutionTeacher)
+#  - 01 passes sures_task to KDLAE_teacher, whose ctor has no such kwarg
+#    (restormer_arch.py:702-717; dynamic_instantiation would TypeError)
+DEAD_VALIDATE = {"01_2_sures_param1_fintune.yml"}
+DEAD_BUILD = {"01_sures_param_fintune.yml"}
 
-@pytest.mark.parametrize("path", sorted(glob.glob(os.path.join(CONFIG_DIR, "*.yml"))))
-def test_config_validates(path, tmp_path):
+ALL_CONFIGS = sorted(glob.glob(os.path.join(CONFIG_DIR, "*.yml")))
+LIVE_CONFIGS = [p for p in ALL_CONFIGS
+                if os.path.basename(p) not in DEAD_VALIDATE | DEAD_BUILD]
+
+
+@pytest.mark.parametrize("path", LIVE_CONFIGS,
+                         ids=[os.path.basename(p) for p in LIVE_CONFIGS])
+def test_config_validates_and_builds(path, tmp_path):
+    from rethink_acoustic_image_enhancement_tpu.losses import build_loss
+    from rethink_acoustic_image_enhancement_tpu.models import build_network
+    from rethink_acoustic_image_enhancement_tpu.train.schedules import (
+        build_schedule,
+    )
+
     opt = parse(path, is_train=True, root_path=str(tmp_path))
     validate(opt)
     assert opt["path"]["experiments_root"].startswith(str(tmp_path))
     assert opt["datasets"]["train"]["phase"] == "train"
 
+    net = build_network(opt["network_g"])
+    assert net is not None
 
-def test_configs_exist():
-    assert len(glob.glob(os.path.join(CONFIG_DIR, "*.yml"))) >= 4
+    train = opt["train"]
+    loss = build_loss(train["pixel_opt"])
+    assert callable(loss)
+
+    sched = build_schedule(train["optim_g"]["lr"], train["scheduler"],
+                           warmup_iter=train.get("warmup_iter", -1))
+    warmup = max(train.get("warmup_iter", -1), 0)
+    lr = float(sched(warmup + 1))
+    assert lr > 0
+
+
+def test_dead_class_config_fails_fast(tmp_path):
+    path = os.path.join(CONFIG_DIR, "01_2_sures_param1_fintune.yml")
+    opt = parse(path, is_train=True, root_path=str(tmp_path))
+    with pytest.raises(KeyError, match="RestormerSuperResolutionTeacher"):
+        validate(opt)
+
+
+def test_dead_kwarg_config_fails_fast(tmp_path):
+    from rethink_acoustic_image_enhancement_tpu.models import build_network
+
+    path = os.path.join(CONFIG_DIR, "01_sures_param_fintune.yml")
+    opt = parse(path, is_train=True, root_path=str(tmp_path))
+    validate(opt)  # class name itself is fine
+    with pytest.raises(KeyError, match="sures_task"):
+        build_network(opt["network_g"])
+
+
+def test_full_paper202508_surface_mirrored():
+    """All 11 reference configs are mirrored by filename."""
+    ref_names = {
+        "01_2_sures_param1_fintune.yml", "01_sures_param_fintune.yml",
+        "02_sures_param.yml", "03_param.yml", "03_param_fintue.yml",
+        "04_param_olddata.yml", "05_sures_fintue.yml", "06_sures.yml",
+        "KDLAES.yml", "KDLAET.yml", "Restomer.yml",
+    }
+    have = {os.path.basename(p) for p in ALL_CONFIGS}
+    assert ref_names <= have, ref_names - have
