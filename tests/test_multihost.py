@@ -1,0 +1,187 @@
+"""Multi-host (process_count > 1) integration semantics, simulated on the
+CPU mesh: per-process EnlargedShuffleSampler shards compose the global
+epoch (data_sampler.py:40 rank-striding), two-process feeding reproduces
+single-process training exactly, and side effects (checkpoints, metrics
+sink) are rank-0-gated like the reference's @master_only
+(dist_util.py:75-83)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+import jax
+import jax.numpy as jnp
+
+from rethink_acoustic_image_enhancement_tpu.data.loader import (
+    BatchLoader,
+    EnlargedShuffleSampler,
+)
+from rethink_acoustic_image_enhancement_tpu.losses import build_loss
+from rethink_acoustic_image_enhancement_tpu.models import KDLAEStudent
+from rethink_acoustic_image_enhancement_tpu.train.schedules import build_schedule
+from rethink_acoustic_image_enhancement_tpu.train.trainer import (
+    Trainer,
+    build_optimizer,
+)
+
+from test_train_loop import _student_config, _write_frames
+
+
+def test_rank_sharded_samplers_partition_epoch():
+    """Rank r sees exactly global_perm[r::world]; shards are disjoint and
+    their union is the full (enlarged) epoch — EnlargedSampler semantics."""
+    n, world = 20, 4
+    samplers = [EnlargedShuffleSampler(n, ratio=2, rank=r, world_size=world,
+                                       seed=7) for r in range(world)]
+    for epoch in (0, 3):
+        shards = [s.epoch_indices(epoch) for s in samplers]
+        g = np.random.default_rng(7 + epoch)
+        perm = g.permutation(samplers[0].total) % n
+        for r, shard in enumerate(shards):
+            np.testing.assert_array_equal(shard, perm[r::world])
+        # union covers the full enlarged epoch, evenly split
+        assert sum(len(s) for s in shards) == samplers[0].total
+        assert len({len(s) for s in shards}) == 1
+
+
+class _FrameStacks:
+    """In-memory map-style dataset of (N-frame stack lq, gt) pairs."""
+
+    def __init__(self, n=16, frames=5, h=16, w=16):
+        rng = np.random.default_rng(0)
+        self.lq = rng.uniform(size=(n, frames, h, w)).astype(np.float32)
+        self.gt = np.clip(self.lq * 0.9 + 0.05, 0, 1).astype(np.float32)
+
+    def __len__(self):
+        return len(self.lq)
+
+    def __getitem__(self, i):
+        return {"lq": self.lq[i], "gt": self.gt[i]}
+
+
+def _make_trainer():
+    model = KDLAEStudent(residual=True, hidden_channels=(4, 8))
+    # host copy: init_state device_puts (possibly aliasing) and the step
+    # donates the state, so device-resident params would be deleted after
+    # the first run
+    params = jax.device_get(model.init(jax.random.PRNGKey(0),
+                                       jnp.zeros((1, 5, 16, 16)))["params"])
+    train_opt = {
+        "optim_g": {"type": "AdamW", "lr": 1e-3, "weight_decay": 1e-4,
+                    "betas": [0.9, 0.999]},
+        "use_grad_clip": True,
+        "scheduler": {"type": "CosineAnnealingRestartCyclicLR",
+                      "periods": [100], "restart_weights": [1],
+                      "eta_mins": [1e-4]},
+    }
+    schedule = build_schedule(1e-3, train_opt["scheduler"], warmup_iter=-1)
+    trainer = Trainer(
+        apply_fn=lambda p, lq: model.apply({"params": p}, lq),
+        loss_fn=build_loss({"type": "L1Loss", "loss_weight": 1,
+                            "reduction": "mean"}),
+        optimizer=build_optimizer(train_opt, schedule),
+        schedule=schedule,
+        mixup=False,  # keep the step permutation-invariant in the batch dim
+    )
+    return trainer, params
+
+
+def _run(trainer, params, batches, steps=3):
+    state = trainer.init_state(params)
+    rng = jax.random.PRNGKey(42)
+    for i in range(steps):
+        state, metrics = trainer.step(state, batches[i]["lq"],
+                                      batches[i]["gt"], rng)
+    return jax.device_get(state.params), float(metrics["l_pix"])
+
+
+def test_two_process_feed_matches_single_process():
+    """2 simulated processes (rank-sharded samplers, half batch each, global
+    batch = concat) produce byte-equivalent training to one process with
+    the full batch — the DDP ≙ data-sharded-jit equivalence."""
+    ds = _FrameStacks(n=16)
+    seed, gbs, steps = 11, 4, 3
+
+    def batches_for(world_size):
+        loaders = [
+            BatchLoader(ds, gbs // world_size,
+                        EnlargedShuffleSampler(len(ds), rank=r,
+                                               world_size=world_size,
+                                               seed=seed),
+                        num_workers=1)
+            for r in range(world_size)
+        ]
+        for ld in loaders:
+            ld.set_epoch(0)
+        per_rank = [list(ld) for ld in loaders]
+        return [
+            {k: np.concatenate([pr[i][k] for pr in per_rank])
+             for k in per_rank[0][i]}
+            for i in range(steps)
+        ]
+
+    single = batches_for(1)
+    double = batches_for(2)
+    # the two-process global batch is a fixed permutation of the
+    # single-process batch (rank interleave) — same sample set each step
+    for b1, b2 in zip(single, double):
+        np.testing.assert_allclose(np.sort(b1["lq"], axis=0),
+                                   np.sort(b2["lq"], axis=0))
+
+    trainer, params = _make_trainer()
+    p1, loss1 = _run(trainer, params, single)
+    trainer2, _ = _make_trainer()
+    p2, loss2 = _run(trainer2, params, double)
+
+    assert np.isfinite(loss1) and abs(loss1 - loss2) < 1e-6
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+
+
+def test_rank_gating_of_checkpoints_and_sink(tmp_path, monkeypatch):
+    """train_from_config on a non-zero rank must write NO checkpoints, NO
+    weights, NO metrics.jsonl (the @master_only analog); rank 0 writes all."""
+    from rethink_acoustic_image_enhancement_tpu.train.config import (
+        make_exp_dirs,
+        parse,
+    )
+    from rethink_acoustic_image_enhancement_tpu.train.loop import (
+        train_from_config,
+    )
+
+    _write_frames(tmp_path / "data")
+    cfg = _student_config(tmp_path)
+    cfg["name"] = "multihost_rank1"
+    path = tmp_path / "opt.yml"
+    path.write_text(yaml.safe_dump(cfg))
+    opt = parse(str(path), is_train=True, root_path=str(tmp_path))
+    make_exp_dirs(opt)
+
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    state = train_from_config(opt, max_iters=6, log_fn=lambda m: None)
+    assert int(state.step) == 6
+    assert os.listdir(opt["path"]["training_states"]) == []
+    assert os.listdir(opt["path"]["models"]) == []
+    assert not os.path.exists(os.path.join(opt["path"]["log"],
+                                           "metrics.jsonl"))
+
+    # rank-0 phase: restore process_count to 1 — orbax's checkpointer
+    # demands a real jax.distributed client whenever process_count > 1,
+    # which a single-process simulation cannot provide
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    monkeypatch.setattr(jax, "process_count", lambda: 1)
+    cfg2 = dict(cfg, name="multihost_rank0")
+    path2 = tmp_path / "opt2.yml"
+    path2.write_text(yaml.safe_dump(cfg2))
+    opt2 = parse(str(path2), is_train=True, root_path=str(tmp_path))
+    make_exp_dirs(opt2)
+    state = train_from_config(opt2, max_iters=6, log_fn=lambda m: None)
+    assert os.listdir(opt2["path"]["training_states"]) != []
+    sink_path = os.path.join(opt2["path"]["log"], "metrics.jsonl")
+    assert os.path.exists(sink_path)
+    recs = [json.loads(line) for line in open(sink_path)]
+    assert any(r["kind"] == "train" for r in recs)
