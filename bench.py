@@ -8,9 +8,23 @@ production serving configuration. Prints ONE JSON line:
 vs_baseline is relative to the PyTorch reference stack run on this host's
 CPU (the only hardware the reference ships support for that we can run:
 no CUDA here, and the reference publishes no throughput numbers —
-BASELINE.md). Measured once with torch 2.13 (8 threads): 31.48 s/img at
-256px => 125.9 s/img at 512px (conv cost scales with pixel count)
-= 7.94e-3 img/s. BASELINE.md's north star is >= 10x CPU baseline.
+BASELINE.md). Measured DIRECTLY at 512px with torch 2.13.0+cpu
+(8 threads, static='test', one fp32 forward): 631.01 s/img = 1.58e-3
+img/s. (Round 1 extrapolated 125.9 s from a 256px measurement; the direct
+512px number is 5x worse — CPU conv cost scales superlinearly here.)
+BASELINE.md's north star is >= 10x CPU baseline.
+
+Serving mode (round 2): SCAN_IMAGES single-image forwards run back-to-back
+inside ONE jit via lax.scan — numerics are bit-identical to dispatching
+each image separately (verified on-chip, PERF_SWEEP2.json
+scan_parity_max_abs_diff = 0.0; scan iterates the leading dim, and every
+op in the model is per-image), but the per-dispatch tunnel/host overhead
+amortizes across the group. Measured r2: scan8 126.95 ms/img vs 132.05
+dispatch-per-image; plain batch 2/4 are SLOWER per image (157/184 ms —
+XLA picks worse layouts), and no XLA compiler flag beat the default
+compile (PERF_SWEEP.json). MFU at 127 ms/img: 1641 GF / 0.127 s
+= 12.9 TF/s ≈ 6.6% of v5e bf16 peak — the model is HBM-bound
+(conv+formatting traffic ~62 GB/img ≈ 76 ms at 819 GB/s).
 """
 
 import json
@@ -22,13 +36,13 @@ import jax
 import jax.numpy as jnp
 
 # torch-CPU reference throughput on this host (see module docstring).
-CPU_BASELINE_IMG_PER_S = 1.0 / 125.9
+CPU_BASELINE_IMG_PER_S = 1.0 / 631.01
 
-BATCH = 1  # measured best on v5e (batch 2/4 are HBM-bound slower per image)
+SCAN_IMAGES = 8  # images per dispatch (serving group); batch stays 1
 SIZE = 512
 DTYPE = jnp.bfloat16
 WARMUP = 2
-ITERS = 10
+ITERS = 3  # dispatches; total images = SCAN_IMAGES * ITERS
 
 
 def main() -> None:
@@ -45,29 +59,36 @@ def main() -> None:
          "denoise_rate": jnp.zeros((1, 64, 64, 1))})["params"])()
     params = jax.tree.map(lambda x: x.astype(DTYPE), params)
 
-    img = jnp.asarray(np.random.default_rng(0).random((BATCH, SIZE, SIZE, 3)),
-                      DTYPE)
-    rate = jnp.full((BATCH, SIZE, SIZE, 1), 1.0, DTYPE)
+    imgs = jnp.asarray(
+        np.random.default_rng(0).random((SCAN_IMAGES, 1, SIZE, SIZE, 3)),
+        DTYPE)
+    rates = jnp.full((SCAN_IMAGES, 1, SIZE, SIZE, 1), 1.0, DTYPE)
 
     @jax.jit
-    def denoise(params, img, rate):
-        out = model.apply({"params": params},
-                          {"img": img, "denoise_rate": rate})
-        return jnp.clip(out["hq"], 0.0, 1.0)
+    def denoise_group(params, imgs, rates):
+        def body(_, xs):
+            img, rate = xs
+            out = model.apply({"params": params},
+                              {"img": img, "denoise_rate": rate})
+            return None, jnp.clip(out["hq"], 0.0, 1.0)
+
+        _, outs = jax.lax.scan(body, None, (imgs, rates))
+        return outs
 
     # NB: sync via a scalar device_get — block_until_ready() does not
     # actually block on the experimental axon TPU platform.
     for _ in range(WARMUP):
-        float(denoise(params, img, rate).mean())
+        float(denoise_group(params, imgs, rates).mean())
 
     t0 = time.perf_counter()
-    outs = [denoise(params, img, rate) for _ in range(ITERS)]
+    outs = [denoise_group(params, imgs, rates) for _ in range(ITERS)]
     float(outs[-1].mean())
     dt = time.perf_counter() - t0
 
-    img_per_s = BATCH * ITERS / dt
+    img_per_s = SCAN_IMAGES * ITERS / dt
     print(json.dumps({
-        "metric": f"KDLAE-T {SIZE}px denoise throughput (bf16, batch {BATCH})",
+        "metric": f"KDLAE-T {SIZE}px denoise throughput "
+                  f"(bf16, serving group {SCAN_IMAGES})",
         "value": round(img_per_s, 3),
         "unit": "img/s/chip",
         "vs_baseline": round(img_per_s / CPU_BASELINE_IMG_PER_S, 1),

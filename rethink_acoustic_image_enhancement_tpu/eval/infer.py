@@ -111,6 +111,64 @@ class TeacherPredictor:
     def denoise_file(self, path: str, denoise_rate: float = 1.0, **kw):
         return self(imread_rgb(path), denoise_rate, **kw)
 
+    def denoise_group(self, imgs_rgb: list[np.ndarray],
+                      denoise_rate: float = 1.0, zero_mask: bool = True,
+                      group_size: int = 8) -> list[dict]:
+        """Throughput serving mode: same-shape images are run back-to-back
+        inside ONE jit via lax.scan, amortizing per-dispatch overhead
+        (measured +4% img/s on v5e at 512px, bench.py). Numerics are
+        bit-identical to per-image ``__call__`` — scan iterates the
+        leading dim and every model op is per-image (on-chip parity:
+        PERF_SWEEP2.json scan_parity_max_abs_diff = 0.0). Images of
+        different shapes fall back to per-image calls.
+        """
+        if not imgs_rgb:
+            return []
+        shape0 = imgs_rgb[0].shape
+        if any(im.shape != shape0 for im in imgs_rgb):
+            return [self(im, denoise_rate, zero_mask=zero_mask)
+                    for im in imgs_rgb]
+
+        if not hasattr(self, "_scan_apply"):
+            def scan_fwd(params, imgs, rates):
+                def body(_, xs):
+                    i, r = xs
+                    return None, self._forward(params, i, r)
+
+                _, outs = jax.lax.scan(body, None, (imgs, rates))
+                return outs
+
+            self._scan_apply = jax.jit(scan_fwd)
+
+        h, w, _ = shape0
+        m = self.shape_bucket or self.multiple_of
+        ph, pw = _round_up(h, m) - h, _round_up(w, m) - w
+        results: list[dict] = []
+        for base in range(0, len(imgs_rgb), group_size):
+            chunk = imgs_rgb[base:base + group_size]
+            x = np.stack([_pad_reflect_np(im[None], ph, pw)
+                          for im in chunk]).astype(np.float32)
+            rates = np.full((len(chunk), 1, x.shape[2], x.shape[3], 1),
+                            denoise_rate, np.float32)
+            hqs, srs = self._scan_apply(self.params,
+                                        jnp.asarray(x, self.dtype),
+                                        jnp.asarray(rates, self.dtype))
+            for j, im in enumerate(chunk):
+                hq = to_ubyte(np.asarray(hqs[j, 0, :h, :w], np.float32))
+                out = {}
+                if zero_mask:
+                    mask = zero_mask_from_input(to_ubyte(im))
+                    hq = apply_zero_mask(hq, mask)
+                out["hq"] = hq
+                if srs is not None:
+                    sr_img = to_ubyte(np.asarray(srs[j, 0, :2 * h, :2 * w],
+                                                 np.float32))
+                    if zero_mask:
+                        sr_img = apply_zero_mask(sr_img, mask, scale=2)
+                    out["sr"] = sr_img
+                results.append(out)
+        return results
+
 
 @dataclass
 class StudentPredictor:

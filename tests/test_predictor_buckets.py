@@ -45,6 +45,29 @@ def test_bucketed_predictor_one_program_for_many_sizes():
             for h, w in sizes} == {(32, 32)}
 
 
+def test_denoise_group_matches_per_image():
+    """The scan serving mode must be bit-identical to per-image calls,
+    chunk correctly at group_size, and fall back on mixed shapes."""
+    model, params = _tiny()
+    pred = TeacherPredictor(params=params, model=model)
+    rng = np.random.default_rng(4)
+    imgs = [rng.uniform(size=(24, 28, 3)).astype(np.float32)
+            for _ in range(5)]
+
+    grouped = pred.denoise_group(imgs, denoise_rate=0.7, group_size=2)
+    single = [pred(im, denoise_rate=0.7) for im in imgs]
+    assert len(grouped) == 5
+    for g, s in zip(grouped, single):
+        np.testing.assert_array_equal(g["hq"], s["hq"])
+
+    # mixed shapes: falls back to per-image, still correct
+    mixed = imgs[:2] + [rng.uniform(size=(16, 16, 3)).astype(np.float32)]
+    out = pred.denoise_group(mixed)
+    assert len(out) == 3 and out[2]["hq"].shape == (16, 16, 3)
+
+    assert pred.denoise_group([]) == []
+
+
 def test_bucketed_vs_exact_deviation_quantified():
     """Quantify the bucketing tradeoff (VERDICT r1 weak #7).
 
