@@ -31,6 +31,7 @@ from ..utils.logging import MessageLogger, get_logger
 from .checkpoints import (
     find_latest_checkpoint,
     load_reference_pth,
+    load_weights,
     restore_checkpoint,
     save_checkpoint,
     save_weights,
@@ -116,21 +117,28 @@ def validate_model(model, params, val_loader, opt,
     @jax.jit
     def fwd(params, lq):
         out = model.apply({"params": params}, lq)
-        if isinstance(out, dict):
-            out = out["hq"]
-        return jnp.clip(out, 0.0, 1.0)
+        return jax.tree.map(lambda x: jnp.clip(x, 0.0, 1.0), out)
 
     sums = {name: 0.0 for name in metric_cfgs}
     count = 0
     for batch in val_loader:
         lq, gt = batch["lq"], batch["gt"]
+        pred_sr = target_sr = None
         if _is_dict_batch(lq):
             img = jnp.asarray(lq["img"])
             h, w = img.shape[1:3]
             img, _ = pad_to_multiple(img, window)
             rate, _ = pad_to_multiple(jnp.asarray(lq["denoise_rate"]), window)
-            pred = fwd(params, {"img": img, "denoise_rate": rate})
-            pred = crop_to(pred, h, w)
+            out = fwd(params, {"img": img, "denoise_rate": rate})
+            if not isinstance(out, dict):
+                out = {"hq": out, "sr": None}
+            pred = crop_to(out["hq"], h, w)
+            # SR branch (train.py:420-426 scores sr at hardcoded scale 2);
+            # present only when static='train' and the val set carries gt sr
+            if out.get("sr") is not None and isinstance(gt, dict) \
+                    and gt.get("sr") is not None:
+                pred_sr = np.asarray(crop_to(out["sr"], 2 * h, 2 * w))
+                target_sr = np.asarray(gt["sr"])
             target = np.asarray(gt["hq"] if isinstance(gt, dict) else gt)
         else:
             x = jnp.asarray(lq)
@@ -159,6 +167,14 @@ def validate_model(model, params, val_loader, opt,
                     else p_img[p_img.shape[0] // 2][..., None]
                 imwrite(os.path.join(save_dir, name0),
                         out_img / 255.0 if use_image else out_img)
+            ps_img = ts_img = None
+            if pred_sr is not None:
+                ps_img, ts_img = pred_sr[b], target_sr[b]
+                if use_image:
+                    from ..utils.image_io import to_ubyte
+
+                    ps_img = to_ubyte(ps_img).astype(np.float32)
+                    ts_img = to_ubyte(ts_img).astype(np.float32)
             for name, cfg in metric_cfgs.items():
                 cfg = dict(cfg)
                 fn = get_metric(cfg.pop("type"))
@@ -169,6 +185,9 @@ def validate_model(model, params, val_loader, opt,
                     sums[name] += float(np.mean(vals))
                 else:
                     sums[name] += float(fn(p_img, t_img, **cfg))
+                if ps_img is not None:
+                    sums[f"{name}_sr"] = sums.get(f"{name}_sr", 0.0) + float(
+                        fn(ps_img, ts_img, **cfg))
             count += 1
         if max_items is not None and count >= max_items:
             break
@@ -184,6 +203,31 @@ def train_from_config(opt: dict, mesh=None, max_iters: int | None = None,
 
     model, params, trainer, schedule = build_everything(opt, mesh)
     state = trainer.init_state(params)
+
+    # config-driven ONLINE distillation: a frozen teacher generates the
+    # student's targets in the loop, so no teacher-output corpus has to be
+    # materialized. The reference only distills offline (KDLAES.yml:16
+    # points dataroot_gt at the teacher's denoised folder).
+    #   train.distill: {online: true, teacher: <network_g dict>,
+    #                   teacher_weights: <orbax dir | reference .pth>,
+    #                   denoise_rate: 1.0}
+    online_target_fn = None
+    distill_cfg = opt["train"].get("distill") or {}
+    if distill_cfg.get("online"):
+        from .distill import make_online_target_fn
+
+        teacher = build_network(distill_cfg["teacher"])
+        tw = distill_cfg["teacher_weights"]
+        if str(tw).endswith(".pth"):
+            tparams = load_reference_pth(
+                tw, distill_cfg["teacher"]["type"],
+                param_key=distill_cfg.get("param_key", "params"))
+        else:
+            tparams = load_weights(tw, distill_cfg.get("param_key", "params"))
+        online_target_fn = make_online_target_fn(
+            teacher, jax.tree.map(jnp.asarray, tparams),
+            denoise_rate=distill_cfg.get("denoise_rate", 1.0))
+        log("online distillation: frozen teacher targets in the loop")
 
     ds_opt = opt["datasets"]["train"]
     dataset = create_dataset(ds_opt)
@@ -212,7 +256,14 @@ def train_from_config(opt: dict, mesh=None, max_iters: int | None = None,
             state, start_epoch = restore_checkpoint(states_dir, latest, state)
             log(f"auto-resumed from iteration {latest}")
 
-    msg_logger = MessageLogger(total_iters, start_iter=int(state.step), log=log)
+    log_dir = opt["path"].get("log")
+    msg_logger = MessageLogger(
+        total_iters, start_iter=int(state.step), log=log,
+        tb_log_dir=(os.path.join(log_dir, "tb") if log_dir
+                    and logger_cfg.get("use_tb_logger") else None),
+        # tracker-agnostic metrics sink (wandb/swanlab analog, logger.py:87-105)
+        jsonl_path=(os.path.join(log_dir, "metrics.jsonl")
+                    if log_dir and jax.process_index() == 0 else None))
     rng = jax.random.PRNGKey(opt.get("manual_seed", 0) + jax.process_index())
     current_iter = int(state.step)
     epoch = start_epoch
@@ -248,6 +299,8 @@ def train_from_config(opt: dict, mesh=None, max_iters: int | None = None,
             data_time = time.time() - t_data
 
             lq, gt = batch["lq"], batch["gt"]
+            if online_target_fn is not None:
+                gt = online_target_fn(jnp.asarray(lq))
             extra_prob, mini_gt = 0.0, 0
             if prog is not None:
                 mb, mini_gt, mini_prob = prog.at(current_iter)
@@ -277,6 +330,8 @@ def train_from_config(opt: dict, mesh=None, max_iters: int | None = None,
                     log(f"saved checkpoint @ {current_iter}")
             if val_freq and val_loader and current_iter % val_freq == 0:
                 scores = validate_model(model, state.params, val_loader(), opt)
+                if msg_logger.jsonl is not None:
+                    msg_logger.jsonl.write("val", current_iter, scores)
                 log(f"validation @ {current_iter}: " + ", ".join(
                     f"{k}={v:.4f}" for k, v in scores.items()))
         epoch += 1

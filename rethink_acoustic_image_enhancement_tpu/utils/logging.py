@@ -39,17 +39,43 @@ def get_logger(name: str = "raie", log_dir: str | None = None,
     return logger
 
 
+class JsonlMetricsSink:
+    """Torch-free experiment tracker: one JSON line per logged event.
+
+    The tracker-agnostic analog of the reference's wandb/swanlab hooks
+    (Train/basicsr/utils/logger.py:87-105, Train/ASDQE.py:71-84) — training
+    curves persist without any tracking-service or torch dependency.
+    Lines: {"kind": "train"|"val", "iter": N, ...scalars}.
+    """
+
+    def __init__(self, path: str):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        self.path = path
+
+    def write(self, kind: str, current_iter: int, scalars: dict,
+              **extra) -> None:
+        import json
+
+        rec = {"kind": kind, "iter": int(current_iter), "ts": time.time()}
+        rec.update({k: float(v) for k, v in scalars.items()})
+        rec.update(extra)
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+
 class MessageLogger:
     """Formats '[epoch..][iter..] lr: .. eta: .. time: .. l_pix: ..' lines
     with ETA estimation (logger.py:33-77)."""
 
     def __init__(self, total_iters: int, start_iter: int = 0,
                  log: Callable[[str], None] | None = None,
-                 tb_log_dir: str | None = None):
+                 tb_log_dir: str | None = None,
+                 jsonl_path: str | None = None):
         self.total_iters = total_iters
         self.start_iter = start_iter
         self.start_time = time.time()
         self.log = log or print
+        self.jsonl = JsonlMetricsSink(jsonl_path) if jsonl_path else None
         self._tb = None
         if tb_log_dir:
             try:
@@ -80,6 +106,9 @@ class MessageLogger:
             if self._tb is not None:
                 tag = k if k.startswith("m_") else f"losses/{k}"
                 self._tb.add_scalar(tag, v, current_iter)
+        if self.jsonl is not None:
+            self.jsonl.write("train", current_iter, metrics, epoch=epoch,
+                             iter_time=iter_time, data_time=data_time)
         self.log(msg)
 
 

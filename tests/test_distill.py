@@ -85,3 +85,53 @@ def test_online_distillation_step():
                                   jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["l_pix"]))
     assert int(state.step) == 1
+
+
+def test_config_driven_online_distillation(tmp_path):
+    """train.distill {online: true} wires a frozen teacher into
+    train_from_config: student trains against teacher targets without a
+    materialized corpus (new capability; reference distills offline only,
+    KDLAES.yml:16)."""
+    import yaml
+
+    from rethink_acoustic_image_enhancement_tpu.train.checkpoints import (
+        save_weights,
+    )
+    from rethink_acoustic_image_enhancement_tpu.train.config import (
+        make_exp_dirs,
+        parse,
+    )
+    from rethink_acoustic_image_enhancement_tpu.train.loop import (
+        train_from_config,
+    )
+
+    from test_train_loop import _student_config, _write_frames
+
+    teacher_cfg = {
+        "type": "KDLAE_teacher", "inp_channels": 3, "out_channels": 3,
+        "dim": 8, "num_blocks": [1, 1, 1, 1], "num_refinement_blocks": 1,
+        "heads": [1, 2, 4, 8], "ffn_expansion_factor": 2.66, "bias": False,
+        "LayerNorm_type": "BiasFree", "static": "test", "params": "cat",
+    }
+    _, t_params = _tiny_teacher()
+    weights_path = save_weights(str(tmp_path / "teacher"), 0,
+                                jax.device_get(t_params))
+
+    _write_frames(tmp_path / "data")
+    cfg = _student_config(tmp_path)
+    cfg["name"] = "online_distill_student"
+    cfg["train"]["distill"] = {
+        "online": True,
+        "teacher": teacher_cfg,
+        "teacher_weights": weights_path,
+        "denoise_rate": 1.0,
+    }
+    path = tmp_path / "opt.yml"
+    path.write_text(yaml.safe_dump(cfg))
+    opt = parse(str(path), is_train=True, root_path=str(tmp_path))
+    make_exp_dirs(opt)
+
+    logs = []
+    state = train_from_config(opt, max_iters=3, log_fn=logs.append)
+    assert int(state.step) == 3
+    assert any("online distillation" in m for m in logs)
