@@ -31,6 +31,25 @@ def _cmd_train(args) -> int:
     return 0
 
 
+def _cmd_train_asdqe(args) -> int:
+    """ASDQE scorer training entry (the reference ships this as the
+    standalone-and-broken Train/ASDQE.py script — SURVEY.md §2.7)."""
+    from .train.asdqe_trainer import train_asdqe
+
+    result = train_asdqe(
+        {"dataroot_lq": args.lq, "dataroot_gt": args.gt,
+         "dataroot_param": args.param, "geometric_augs": True,
+         "io_backend": {"type": "disk"}},
+        lr=args.lr, epochs=args.epochs, batch_size=args.batch_size,
+        accumulation_steps=args.accum, gt_size=args.gt_size,
+        seed=args.seed, out_dir=args.out,
+        max_steps_per_epoch=args.max_steps_per_epoch)
+    if result["history"]:
+        best = min(h["val_mse"] for h in result["history"])
+        print(f"best val MSE: {best:.6f}")
+    return 0
+
+
 def _cmd_test(args) -> int:
     from .data.datasets import create_dataset
     from .data.loader import BatchLoader, EnlargedShuffleSampler
@@ -165,6 +184,20 @@ def main(argv=None) -> int:
     p.add_argument("-opt", required=True)
     p.add_argument("--max-iters", type=int, default=None)
     p.set_defaults(fn=_cmd_train)
+
+    p = sub.add_parser("train-asdqe", help="ASDQE quality-scorer training")
+    p.add_argument("--lq", required=True, help="noisy-image dir")
+    p.add_argument("--gt", required=True, help="result-image dir")
+    p.add_argument("--param", required=True, help="per-image JSON score dir")
+    p.add_argument("--out", required=True, help="checkpoint output dir")
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--accum", type=int, default=32)
+    p.add_argument("--gt-size", type=int, default=256)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--max-steps-per-epoch", type=int, default=None)
+    p.set_defaults(fn=_cmd_train_asdqe)
 
     p = sub.add_parser("test", help="config-driven offline eval")
     p.add_argument("-opt", required=True)

@@ -66,3 +66,28 @@ def test_score_cli_custom_methods(tmp_path, torch_asdqe_module):
     lines = csv.read_text().strip().splitlines()
     assert lines[0] == ",origin,A"
     assert len(lines) == 8
+
+
+def test_train_asdqe_cli(tmp_path):
+    """train-asdqe subcommand: the working replacement for the reference's
+    broken Train/ASDQE.py entry (imports a nonexistent S_IQA_model)."""
+    import json
+
+    lq = tmp_path / "lq"
+    gt = tmp_path / "gt"
+    par = tmp_path / "param"
+    for d in (lq, gt, par):
+        os.makedirs(d)
+    for i in range(5):
+        rng = np.random.default_rng(i)
+        img = (rng.uniform(0, 1, (40, 40, 3)) * 255).astype(np.uint8)
+        imwrite(str(lq / f"{i}.png"), img)
+        imwrite(str(gt / f"{i}.png"), np.clip(img + 5, 0, 255).astype(np.uint8))
+        (par / f"{i}.json").write_text(json.dumps({"score": 0.5}))
+
+    out = tmp_path / "ckpt"
+    assert main(["train-asdqe", "--lq", str(lq), "--gt", str(gt),
+                 "--param", str(par), "--out", str(out),
+                 "--epochs", "1", "--gt-size", "32", "--accum", "2",
+                 "--max-steps-per-epoch", "2"]) == 0
+    assert os.listdir(out)  # best/latest checkpoints written
