@@ -178,3 +178,43 @@ def test_collate_nested():
     ])
     assert out["a"]["b"].shape == (2, 2, 2)
     assert out["p"] == ["x", "y"]
+
+
+def test_decode_cache_identical_and_hits(teacher_root):
+    """cache_decoded: true serves identical items and decodes each source
+    file exactly once (host decode was the e2e bottleneck — STATUS.md)."""
+    base_opt = {
+        "type": "Dataset_SuperRestoration_param",
+        "dataroot_lq": str(teacher_root / "lq"),
+        "dataroot_gt": str(teacher_root / "gt"),
+        "dataroot_sr": str(teacher_root / "sr"),
+        "dataroot_param": str(teacher_root / "params"),
+        "phase": "train", "scale": 1, "gt_size": 32,
+        "geometric_augs": True, "seed": 7,
+    }
+    plain = create_dataset(base_opt)
+    cached = create_dataset(dict(base_opt, cache_decoded=True))
+
+    for idx in (0, 3, 5):
+        a, b = plain[idx], cached[idx]
+        np.testing.assert_array_equal(a["lq"]["img"], b["lq"]["img"])
+        np.testing.assert_array_equal(a["gt"]["hq"], b["gt"]["hq"])
+        np.testing.assert_array_equal(a["gt"]["sr"], b["gt"]["sr"])
+
+    # re-reading the same index must hit the cache, not the decoder
+    calls = []
+    orig = cached._read
+
+    def counting_read(path, reader):
+        calls.append(path)
+        return orig(path, reader)
+
+    cached._read = counting_read
+    n_before = len(cached._decode_cache)
+    _ = cached[0]
+    assert len(cached._decode_cache) == n_before  # warm: no new entries
+    # cached items must not alias cache memory (downstream mutation safety)
+    item = cached[1]
+    item["gt"]["hq"][:] = -1.0
+    again = cached[1]
+    assert not np.array_equal(item["gt"]["hq"], again["gt"]["hq"])
