@@ -27,7 +27,8 @@ def _cmd_train(args) -> int:
     opt = parse(args.opt, is_train=True)
     validate(opt)
     make_exp_dirs(opt)
-    train_from_config(opt, max_iters=args.max_iters)
+    train_from_config(opt, max_iters=args.max_iters,
+                      profile_steps=args.profile_steps)
     return 0
 
 
@@ -183,6 +184,9 @@ def main(argv=None) -> int:
     p = sub.add_parser("train", help="config-driven training")
     p.add_argument("-opt", required=True)
     p.add_argument("--max-iters", type=int, default=None)
+    p.add_argument("--profile-steps", type=int, default=0,
+                   help="capture a device trace of N steady-state steps "
+                        "and log the hlo_category time split")
     p.set_defaults(fn=_cmd_train)
 
     p = sub.add_parser("train-asdqe", help="ASDQE quality-scorer training")

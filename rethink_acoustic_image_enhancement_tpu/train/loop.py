@@ -195,8 +195,15 @@ def validate_model(model, params, val_loader, opt,
 
 
 def train_from_config(opt: dict, mesh=None, max_iters: int | None = None,
-                      log_fn: Callable[[str], None] | None = None) -> Any:
-    """Full training run. ``max_iters`` overrides total_iter (smoke runs)."""
+                      log_fn: Callable[[str], None] | None = None,
+                      profile_steps: int = 0) -> Any:
+    """Full training run. ``max_iters`` overrides total_iter (smoke runs).
+
+    ``profile_steps > 0`` captures a jax.profiler device trace of that
+    many steady-state steps (starting 3 steps in, past compilation) into
+    ``<log>/profile`` and logs the per-hlo_category time split — the
+    §5.1 observability the reference lacks entirely.
+    """
     make_exp_dirs(opt)
     logger = get_logger("raie", opt["path"].get("log"))
     log = log_fn or logger.info
@@ -289,6 +296,11 @@ def train_from_config(opt: dict, mesh=None, max_iters: int | None = None,
         placed = device_put_batch(trainer.mesh, arrays)
         return {**placed, **rest}
 
+    profile_dir = (os.path.join(log_dir, "profile")
+                   if profile_steps and log_dir else None)
+    profile_start_iter = current_iter + 3  # past compile + donation warmup
+    profiling_now = False
+
     t_data = time.time()
     while current_iter < total_iters:
         loader.set_epoch(epoch)
@@ -311,10 +323,28 @@ def train_from_config(opt: dict, mesh=None, max_iters: int | None = None,
                     gt = subsample_batch(gt, idx)
                 extra_prob = max(mini_prob - prog.base_prob, 0.0)
 
+            if profile_dir and not profiling_now \
+                    and current_iter > profile_start_iter:
+                jax.profiler.start_trace(profile_dir)
+                profiling_now = True
+
             rng, step_rng = jax.random.split(rng)
             state, metrics = trainer.step(state, lq, gt, step_rng,
                                           extra_prob=extra_prob,
                                           mini_gt_size=mini_gt)
+
+            if profiling_now and \
+                    current_iter > profile_start_iter + profile_steps:
+                float(jax.tree.leaves(metrics)[0])  # drain the device queue
+                jax.profiler.stop_trace()
+                profiling_now = False
+                profile_dir = None
+                from ..utils.profiling import aggregate_trace
+
+                agg = aggregate_trace(os.path.join(log_dir, "profile"))
+                log("profile (ms by hlo_category over "
+                    f"{profile_steps} steps): " + ", ".join(
+                        f"{k}={v:.1f}" for k, v in list(agg.items())[:8]))
             iter_time = time.time() - t_data
             t_data = time.time()
 

@@ -25,6 +25,34 @@ def trace(log_dir: str) -> Iterator[None]:
         jax.profiler.stop_trace()
 
 
+def aggregate_trace(log_dir: str) -> dict[str, float]:
+    """Sum device-op durations (ms) by hlo_category from the newest
+    captured trace under ``log_dir`` (plugins/profile/*/...trace.json.gz).
+
+    This is the summary that drove the round-1 perf work: e.g. the 512px
+    teacher profile splits into convolution fusions / data formatting /
+    loop fusions (docs/perf_plan.md)."""
+    import glob
+    import gzip
+    import json
+    import os
+    from collections import defaultdict
+
+    paths = sorted(glob.glob(os.path.join(
+        log_dir, "plugins", "profile", "*", "*trace.json.gz")))
+    if not paths:
+        return {}
+    totals: dict[str, float] = defaultdict(float)
+    with gzip.open(paths[-1], "rt") as f:
+        data = json.load(f)
+    for ev in data.get("traceEvents", []):
+        args = ev.get("args") or {}
+        cat = args.get("hlo_category")
+        if cat and ev.get("dur"):
+            totals[cat] += ev["dur"] / 1e3  # us -> ms
+    return dict(sorted(totals.items(), key=lambda kv: -kv[1]))
+
+
 def annotate(name: str):
     """Named region that shows up in profiler timelines."""
     import jax

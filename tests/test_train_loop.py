@@ -129,3 +129,27 @@ def test_train_loop_and_auto_resume(tmp_path):
     state2 = train_from_config(opt, log_fn=lambda m: None)
     assert int(state2.step) == 12
     assert find_latest_checkpoint(states_dir) == 12
+
+
+def test_profile_steps_capture(tmp_path):
+    """profile_steps captures a device trace into <log>/profile and logs
+    an hlo_category summary (§5.1 observability)."""
+    from rethink_acoustic_image_enhancement_tpu.utils.profiling import (
+        aggregate_trace,
+    )
+
+    _write_frames(tmp_path / "data")
+    cfg = _student_config(tmp_path)
+    cfg["name"] = "smoke_profile"
+    path = tmp_path / "opt.yml"
+    path.write_text(yaml.safe_dump(cfg))
+    opt = parse(str(path), is_train=True, root_path=str(tmp_path))
+    make_exp_dirs(opt)
+
+    logs = []
+    train_from_config(opt, max_iters=8, log_fn=logs.append, profile_steps=2)
+    prof_dir = os.path.join(opt["path"]["log"], "profile")
+    assert os.path.isdir(prof_dir)
+    assert any("profile (ms by hlo_category" in m for m in logs)
+    agg = aggregate_trace(prof_dir)
+    assert isinstance(agg, dict)
