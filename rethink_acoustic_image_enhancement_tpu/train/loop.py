@@ -359,12 +359,19 @@ def train_from_config(opt: dict, mesh=None, max_iters: int | None = None,
                                  state.params, state.ema_params)
                     log(f"saved checkpoint @ {current_iter}")
             if val_freq and val_loader and current_iter % val_freq == 0:
-                scores = validate_model(model, state.params, val_loader(), opt)
+                # the reference validates with the EMA net when present
+                # (image_restoration_model.py:242-245)
+                val_params = (state.ema_params if state.ema_params is not None
+                              else state.params)
+                scores = validate_model(model, val_params, val_loader(), opt)
                 if msg_logger.jsonl is not None:
                     msg_logger.jsonl.write("val", current_iter, scores)
                 log(f"validation @ {current_iter}: " + ", ".join(
                     f"{k}={v:.4f}" for k, v in scores.items()))
         epoch += 1
+
+    if profiling_now:  # run ended inside the profile window
+        jax.profiler.stop_trace()
 
     if jax.process_index() == 0 and states_dir:
         save_checkpoint(states_dir, current_iter, state, epoch)

@@ -153,3 +153,48 @@ def test_profile_steps_capture(tmp_path):
     assert any("profile (ms by hlo_category" in m for m in logs)
     agg = aggregate_trace(prof_dir)
     assert isinstance(agg, dict)
+
+
+def test_validation_uses_ema_params(tmp_path, monkeypatch):
+    """Periodic validation must run on the EMA weights when EMA is on —
+    the reference tests with net_g_ema (image_restoration_model.py:242)."""
+    import rethink_acoustic_image_enhancement_tpu.train.loop as loop_mod
+
+    _write_frames(tmp_path / "data")
+    cfg = _student_config(tmp_path)
+    cfg["name"] = "smoke_ema_val"
+    cfg["train"]["ema_decay"] = 0.999
+    cfg["datasets"]["val"] = {
+        "name": "ValSet",
+        "type": "Dataset_PairedMutiImage",
+        "dataroot_gt": str(tmp_path / "data" / "gt"),
+        "dataroot_lq": str(tmp_path / "data" / "lq"),
+        "num_pairs": 5,
+        "stride_range": [1, 1],
+        "io_backend": {"type": "disk"},
+    }
+    cfg["val"] = {"val_freq": 2, "window_size": 4,
+                  "metrics": {"psnr": {"type": "calculate_psnr",
+                                       "crop_border": 0}}}
+    path = tmp_path / "opt.yml"
+    path.write_text(yaml.safe_dump(cfg))
+    opt = parse(str(path), is_train=True, root_path=str(tmp_path))
+    make_exp_dirs(opt)
+
+    captured = {}
+
+    def fake_validate(model, params, loader, vopt, **kw):
+        captured["params"] = jax.device_get(params)
+        return {"psnr": 0.0}
+
+    monkeypatch.setattr(loop_mod, "validate_model", fake_validate)
+    state = train_from_config(opt, max_iters=2, log_fn=lambda m: None)
+
+    assert "params" in captured
+    ema = jax.device_get(state.ema_params)
+    raw = jax.device_get(state.params)
+    for a, b in zip(jax.tree.leaves(captured["params"]), jax.tree.leaves(ema)):
+        np.testing.assert_array_equal(a, b)
+    # and EMA really differs from the raw params after 2 steps
+    assert any(not np.array_equal(a, b) for a, b in
+               zip(jax.tree.leaves(ema), jax.tree.leaves(raw)))
