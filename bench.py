@@ -46,13 +46,9 @@ ITERS = 3  # dispatches; total images = SCAN_IMAGES * ITERS
 
 
 def main() -> None:
-    from rethink_acoustic_image_enhancement_tpu.models import KDLAETeacher
+    from rethink_acoustic_image_enhancement_tpu.models import flagship_teacher
 
-    model = KDLAETeacher(
-        dim=48, num_blocks=(4, 6, 6, 8), num_refinement_blocks=4,
-        heads=(1, 2, 4, 8), ffn_expansion_factor=2.66,
-        layernorm_type="BiasFree", static="test", params="cat",
-    )
+    model = flagship_teacher(static="test")
     params = jax.jit(lambda: model.init(
         jax.random.PRNGKey(0),
         {"img": jnp.zeros((1, 64, 64, 3)),

@@ -468,9 +468,10 @@ class GaussianDenoisingDataset(_SeededDataset):
         rng = self._rng(index)
         path = self.paths[index % len(self.paths)]
         if self.in_ch == 3:
-            img_gt = np.ascontiguousarray(imread_bgr(path)[..., ::-1])  # RGB
+            img_gt = np.ascontiguousarray(
+                self._read(path, imread_bgr)[..., ::-1])  # RGB
         else:
-            img_gt = imread_gray(path)[..., None]
+            img_gt = self._read(path, imread_gray)[..., None]
         img_lq = img_gt.copy()
 
         if self.phase == "train":
@@ -520,7 +521,7 @@ class SingleImageDataset(_SeededDataset):
 
     def __getitem__(self, index: int) -> dict[str, Any]:
         path = self.paths[index % len(self.paths)]
-        img = np.ascontiguousarray(imread_bgr(path)[..., ::-1])
+        img = np.ascontiguousarray(self._read(path, imread_bgr)[..., ::-1])
         return {"lq": img.astype(np.float32), "lq_path": path}
 
 
@@ -560,9 +561,9 @@ class DefocusDeblurDualPixel16Dataset(_SeededDataset):
     def __getitem__(self, index: int) -> dict[str, Any]:
         rng = self._rng(index)
         p = self.paths[index % len(self.paths)]
-        img_gt = _imread_16bit(p["gt_path"])
-        img_lql = _imread_16bit(p["lqL_path"])
-        img_lqr = _imread_16bit(p["lqR_path"])
+        img_gt = self._read(p["gt_path"], _imread_16bit)
+        img_lql = self._read(p["lqL_path"], _imread_16bit)
+        img_lqr = self._read(p["lqR_path"], _imread_16bit)
 
         if self.phase == "train":
             gt_size = self.opt["gt_size"]

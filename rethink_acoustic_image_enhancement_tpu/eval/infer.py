@@ -161,6 +161,13 @@ class TeacherPredictor:
         results: list[dict] = []
         for base in range(0, len(imgs_rgb), group_size):
             chunk = imgs_rgb[base:base + group_size]
+            if len(chunk) != group_size:
+                # short tail: a different scan length would retrace and pay
+                # minutes of remote compile to serve a few images — the
+                # per-image program is already compiled (or cheaper to)
+                results.extend(self(im, denoise_rate, zero_mask=zero_mask)
+                               for im in chunk)
+                continue
             x = np.stack([_pad_reflect_np(im[None], ph, pw)
                           for im in chunk]).astype(np.float32)
             rates = np.full((len(chunk), 1, x.shape[2], x.shape[3], 1),

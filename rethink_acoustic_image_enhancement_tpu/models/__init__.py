@@ -67,6 +67,17 @@ def build_network(cfg: dict):
     return cls(**kwargs)
 
 
+def flagship_teacher(static: str = "test") -> KDLAETeacher:
+    """The notebook-config KDLAE-T (KDLAE_T.ipynb cell 1: dim 48, blocks
+    [4,6,6,8], heads [1,2,4,8], ffn 2.66, BiasFree, params='cat') — the
+    single source of truth for every benchmark and driver entry point.
+    ``static='train'`` adds the 2x SR head."""
+    return KDLAETeacher(
+        dim=48, num_blocks=(4, 6, 6, 8), num_refinement_blocks=4,
+        heads=(1, 2, 4, 8), ffn_expansion_factor=2.66,
+        layernorm_type="BiasFree", static=static, params="cat")
+
+
 __all__ = [
     "KDLAETeacher",
     "KDLAEStudent",
@@ -74,5 +85,6 @@ __all__ = [
     "Restormer",
     "RestormerSuperResolutionParam2",
     "build_network",
+    "flagship_teacher",
     "REGISTRY",
 ]

@@ -290,6 +290,10 @@ def train_from_config(opt: dict, mesh=None, max_iters: int | None = None,
     from ..data.loader import device_put_batch
 
     def _put(b):
+        if online_target_fn is not None:
+            # the teacher generates gt on device — don't pay H2D (~38 MB/s
+            # on this tunnel) for a target that's immediately discarded
+            b = {k: v for k, v in b.items() if k != "gt"}
         arrays = {k: v for k, v in b.items() if isinstance(v, np.ndarray)
                   or isinstance(v, dict)}
         rest = {k: v for k, v in b.items() if k not in arrays}
@@ -310,9 +314,7 @@ def train_from_config(opt: dict, mesh=None, max_iters: int | None = None,
             current_iter += 1
             data_time = time.time() - t_data
 
-            lq, gt = batch["lq"], batch["gt"]
-            if online_target_fn is not None:
-                gt = online_target_fn(jnp.asarray(lq))
+            lq, gt = batch["lq"], batch.get("gt")
             extra_prob, mini_gt = 0.0, 0
             if prog is not None:
                 mb, mini_gt, mini_prob = prog.at(current_iter)
@@ -320,8 +322,18 @@ def train_from_config(opt: dict, mesh=None, max_iters: int | None = None,
                 if mb < bsz:
                     idx = host_rng.choice(bsz, size=mb, replace=False)
                     lq = subsample_batch(lq, idx)
-                    gt = subsample_batch(gt, idx)
+                    if gt is not None:
+                        gt = subsample_batch(gt, idx)
                 extra_prob = max(mini_prob - prog.base_prob, 0.0)
+            if online_target_fn is not None:
+                # after subsampling: no teacher forwards on dropped rows
+                if isinstance(lq, dict) or jnp.ndim(lq) != 4:
+                    raise ValueError(
+                        "train.distill.online expects a (B, F, H, W) frame-"
+                        "stack dataset (Dataset_PairedMutiImage); got "
+                        + ("a dict batch" if isinstance(lq, dict)
+                           else f"ndim={jnp.ndim(lq)}"))
+                gt = online_target_fn(jnp.asarray(lq))
 
             if profile_dir and not profiling_now \
                     and current_iter > profile_start_iter:
@@ -334,7 +346,7 @@ def train_from_config(opt: dict, mesh=None, max_iters: int | None = None,
                                           mini_gt_size=mini_gt)
 
             if profiling_now and \
-                    current_iter > profile_start_iter + profile_steps:
+                    current_iter >= profile_start_iter + profile_steps:
                 float(jax.tree.leaves(metrics)[0])  # drain the device queue
                 jax.profiler.stop_trace()
                 profiling_now = False
