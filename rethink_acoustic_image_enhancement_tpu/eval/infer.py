@@ -76,9 +76,39 @@ class TeacherPredictor:
     # leave None for reference-exact behavior.
     shape_bucket: int | None = None
     dtype: Any = jnp.float32
+    # Optional multi-chip serving: a Mesh with a 'spatial' axis shards
+    # image rows across devices — XLA's SPMD partitioner inserts the conv
+    # halo exchanges and the MDTA pixel-axis reductions (psum) over ICI
+    # (the §5.7 CP analog for huge sonar frames). Numerics match the
+    # single-device path to fp tolerance (tests/test_parallel.py) WHEN the
+    # padded height is unchanged; because rows must split evenly, H is
+    # rounded up to multiple_of * n_spatial, and any extra padding rows
+    # shift the global-MDTA statistics exactly like shape_bucket does.
+    mesh: Any = None
 
     def __post_init__(self):
         self._apply = functools.partial(jax.jit(self._forward))
+        self._placed_params = None
+        if self.mesh is not None:
+            from ..parallel.mesh import SPATIAL_AXIS
+
+            self._n_spatial = int(self.mesh.shape[SPATIAL_AXIS])
+        else:
+            self._n_spatial = 1
+
+    def _place_inputs(self, x: jnp.ndarray, rate: jnp.ndarray):
+        """Shard (1, H, W, C) inputs over the spatial mesh; replicate params
+        once on first use."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import SPATIAL_AXIS, replicated
+
+        spec = NamedSharding(self.mesh, P(None, SPATIAL_AXIS, None, None))
+        if self._placed_params is None:
+            self._placed_params = jax.device_put(
+                self.params, replicated(self.mesh))
+        return (self._placed_params, jax.device_put(x, spec),
+                jax.device_put(rate, spec))
 
     def _forward(self, params, img, rate_plane):
         # fp32 quality path pins matmul precision so TPU fp32 matches the
@@ -101,15 +131,21 @@ class TeacherPredictor:
         (when the model has the SR branch) 'sr' uint8 arrays."""
         h, w, _ = img_rgb.shape
         m = self.multiple_of
-        ph = _round_up(h, m) - h
-        pw = _round_up(w, m) - w
         if self.shape_bucket:
-            ph = _round_up(h, self.shape_bucket) - h
-            pw = _round_up(w, self.shape_bucket) - w
+            m = self.shape_bucket
+        if self._n_spatial > 1:
+            # padded H must split evenly across the spatial mesh axis
+            m = m * self._n_spatial
+        ph = _round_up(h, m) - h
+        pw = _round_up(w, self.shape_bucket or self.multiple_of) - w
         x = _pad_reflect_np(img_rgb[None], ph, pw).astype(np.float32)
         rate = np.full((1, x.shape[1], x.shape[2], 1), denoise_rate, np.float32)
-        hq, sr = self._apply(self.params, jnp.asarray(x, self.dtype),
-                             jnp.asarray(rate, self.dtype))
+        args = (self.params, jnp.asarray(x, self.dtype),
+                jnp.asarray(rate, self.dtype))
+        if self.mesh is not None:
+            args = self._place_inputs(jnp.asarray(x, self.dtype),
+                                      jnp.asarray(rate, self.dtype))
+        hq, sr = self._apply(*args)
         hq = np.asarray(hq[0, :h, :w])
         out = {}
         if zero_mask:

@@ -79,3 +79,31 @@ def test_process_shard_strided():
     items = list(range(10))
     assert process_shard(items, 0, 4) == [0, 4, 8]
     assert process_shard(items, 3, 4) == [3, 7]
+
+
+def test_spatial_mesh_predictor_matches_single_device():
+    """TeacherPredictor(mesh=...) shards image rows across the spatial
+    axis (multi-chip serving for huge frames); uint8 outputs must match
+    the single-device predictor up to 1 quantization level."""
+    from rethink_acoustic_image_enhancement_tpu.eval.infer import (
+        TeacherPredictor,
+    )
+
+    model, params = _tiny_teacher()
+    rng = np.random.default_rng(3)
+    # H divisible by 8*n_spatial: both paths pad identically, so global
+    # MDTA sees the same pixels (otherwise the extra rows deviate like
+    # shape_bucket does — documented on TeacherPredictor.mesh)
+    img = rng.random((64, 48, 3)).astype(np.float32)
+
+    single = TeacherPredictor(params=params, model=model)
+    out_1 = single(img, denoise_rate=0.7, zero_mask=False)["hq"]
+
+    mesh = make_mesh(n_data=2, n_spatial=4)
+    sharded = TeacherPredictor(params=params, model=model, mesh=mesh)
+    out_n = sharded(img, denoise_rate=0.7, zero_mask=False)["hq"]
+
+    assert out_n.shape == out_1.shape == img.shape
+    diff = np.abs(out_1.astype(np.int16) - out_n.astype(np.int16))
+    assert diff.max() <= 1  # fp reduction reordering at the rint boundary
+    assert (diff == 0).mean() > 0.99
