@@ -24,7 +24,6 @@ import jax.numpy as jnp
 from rethink_acoustic_image_enhancement_tpu.models import (
     DenoiseRatePredictor,
     KDLAEStudent,
-    KDLAETeacher,
 )
 
 
@@ -45,18 +44,17 @@ def main():
     rng = np.random.default_rng(0)
 
     # ---- teacher
-    def teacher(static, dtype, batch=1, size=512):
-        m = KDLAETeacher(dim=48, num_blocks=(4, 6, 6, 8),
-                         num_refinement_blocks=4, heads=(1, 2, 4, 8),
-                         layernorm_type="BiasFree", static=static,
-                         params="cat")
+    def teacher(static, dtype, batch=1, size=512, scan=0):
+        from rethink_acoustic_image_enhancement_tpu.models import (
+            flagship_teacher,
+        )
+
+        m = flagship_teacher(static=static)
         params = jax.jit(lambda: m.init(
             jax.random.PRNGKey(0),
             {"img": jnp.zeros((1, 64, 64, 3)),
              "denoise_rate": jnp.zeros((1, 64, 64, 1))})["params"])()
         params = jax.tree.map(lambda v: v.astype(dtype), params)
-        img = jnp.asarray(rng.random((batch, size, size, 3)), dtype)
-        rate = jnp.full((batch, size, size, 1), 1.0, dtype)
 
         def fwd(p, i, r):
             out = m.apply({"params": p}, {"img": i, "denoise_rate": r})
@@ -64,13 +62,37 @@ def main():
                 return jnp.clip(out["hq"], 0, 1).mean() + out["sr"].mean()
             return jnp.clip(out["hq"], 0, 1).mean()
 
+        if scan:
+            # serving-group mode (bench.py headline): scan images through
+            # one dispatch; numerics identical to per-image calls
+            imgs = jnp.asarray(rng.random((scan, batch, size, size, 3)), dtype)
+            rates = jnp.full((scan, batch, size, size, 1), 1.0, dtype)
+
+            def group(p, ii, rr):
+                def body(_, xs):
+                    i, r = xs
+                    return None, fwd(p, i, r)
+
+                _, outs = jax.lax.scan(body, None, (ii, rr))
+                return outs
+
+            fn = jax.jit(group)
+            dt = timed(fn, (params, imgs, rates))
+            return scan * batch / dt
+
+        img = jnp.asarray(rng.random((batch, size, size, 3)), dtype)
+        rate = jnp.full((batch, size, size, 1), 1.0, dtype)
         fn = jax.jit(fwd)
         dt = timed(fn, (params, img, rate))
         return batch / dt
 
     results["kdlae_t_512_denoise_bf16"] = teacher("test", jnp.bfloat16)
+    results["kdlae_t_512_denoise_bf16_scan8"] = teacher(
+        "test", jnp.bfloat16, scan=8)
     results["kdlae_t_512_denoise_fp32"] = teacher("test", jnp.float32)
     results["kdlae_t_512_denoise_sr_bf16"] = teacher("train", jnp.bfloat16)
+    results["kdlae_t_512_denoise_sr_bf16_scan8"] = teacher(
+        "train", jnp.bfloat16, scan=8)
 
     # ---- student: KDLAE-S batch 32, 7 frames, 256px (CAMUS-scale)
     sm = KDLAEStudent(residual=True, hidden_channels=(16, 32, 64))

@@ -136,3 +136,25 @@ def test_stats_csv_format(tmp_path):
     write_stats_csv(stats, str(p))
     rows = p.read_text().strip().splitlines()
     assert rows[1].startswith("mean,0.200000")
+
+
+def test_denoise_group_matches_per_image_including_tail():
+    """Scan serving groups are bit-identical to per-image calls, and a
+    short tail chunk routes through the per-image path (no scan retrace)."""
+    model, params = _small_teacher()
+    pred = TeacherPredictor(params=params, model=model)
+    rng = np.random.default_rng(0)
+    imgs = [rng.random((24, 32, 3)).astype(np.float32) for _ in range(5)]
+
+    grouped = pred.denoise_group(imgs, denoise_rate=0.8, zero_mask=False,
+                                 group_size=4)  # 4 via scan + 1 tail
+    singles = [pred(im, denoise_rate=0.8, zero_mask=False) for im in imgs]
+    assert len(grouped) == 5
+    for g, s in zip(grouped, singles):
+        np.testing.assert_array_equal(g["hq"], s["hq"])
+        np.testing.assert_array_equal(g["sr"], s["sr"])
+
+    # mixed shapes: whole list falls back to per-image calls
+    mixed = [imgs[0], rng.random((32, 24, 3)).astype(np.float32)]
+    outs = pred.denoise_group(mixed, zero_mask=False)
+    assert [o["hq"].shape for o in outs] == [im.shape for im in mixed]
