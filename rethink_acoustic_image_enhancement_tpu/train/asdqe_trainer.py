@@ -175,7 +175,7 @@ def train_asdqe(
                                           "batch_stats": batch_stats})
             if val_l < best_val:
                 best_val = val_l
-                save_weights(out_dir, 10**9, {"params": params,
-                                              "batch_stats": batch_stats})
+                save_weights(out_dir, "best", {"params": params,
+                                               "batch_stats": batch_stats})
 
     return {"params": params, "batch_stats": batch_stats, "history": history}

@@ -56,8 +56,9 @@ def save_checkpoint(root: str, step: int, state, epoch: int = 0) -> str:
     return path
 
 
-def save_weights(root: str, step: int, params, ema_params=None) -> str:
-    """Weights-only checkpoint (the net_g_{iter}.pth equivalent)."""
+def save_weights(root: str, step: int | str, params, ema_params=None) -> str:
+    """Weights-only checkpoint (the net_g_{iter}.pth equivalent).
+    ``step`` may be a label like 'best' (net_g_best)."""
     assert _HAS_ORBAX, "orbax not available"
     path = os.path.abspath(osp.join(root, f"net_g_{step}"))
     payload = {"params": jax.device_get(params)}
