@@ -97,17 +97,38 @@ def _cmd_infer_teacher(args) -> int:
 
     model = KDLAETeacher(layernorm_type=args.layernorm_type,
                          static="train" if args.sr else "test", params="cat")
-    pred = TeacherPredictor(params=params, model=model)
+    pred = TeacherPredictor(params=params, model=model,
+                            shape_bucket=args.shape_bucket)
     paths = ([args.input] if os.path.isfile(args.input)
              else list_images(args.input))
     os.makedirs(args.output, exist_ok=True)
-    for p in paths:
-        out = pred.denoise_file(p, denoise_rate=args.denoise_rate)
+
+    def write(p, out):
         base = os.path.basename(p)
         imwrite(os.path.join(args.output, base), out["hq"])
         if args.sr and "sr" in out:
             imwrite(os.path.join(args.output, f"sr_{base}"), out["sr"])
         print(f"{p} -> {os.path.join(args.output, base)}")
+
+    if args.group_size > 1 and len(paths) > 1:
+        # serving-group mode: same-shape runs go through one scan dispatch
+        # (bit-identical to per-image; see TeacherPredictor.denoise_group)
+        from .utils.image_io import imread_rgb
+
+        by_shape: dict[tuple, list] = {}
+        for p in paths:
+            img = imread_rgb(p)
+            by_shape.setdefault(img.shape, []).append((p, img))
+        for shape, items in by_shape.items():
+            outs = pred.denoise_group([im for _, im in items],
+                                      denoise_rate=args.denoise_rate,
+                                      group_size=args.group_size)
+            for (p, _), out in zip(items, outs):
+                write(p, out)
+        return 0
+
+    for p in paths:
+        write(p, pred.denoise_file(p, denoise_rate=args.denoise_rate))
     return 0
 
 
@@ -216,6 +237,13 @@ def main(argv=None) -> int:
     p.add_argument("--sr", action="store_true", help="also emit the 2x output")
     p.add_argument("--layernorm-type", default="BiasFree")
     p.add_argument("--param-key", default="params")
+    p.add_argument("--group-size", type=int, default=1,
+                   help=">1 scans same-shape images through one dispatch "
+                        "(throughput mode, numerics unchanged)")
+    p.add_argument("--shape-bucket", type=int, default=None,
+                   help="round padded sizes up to this grid so mixed-size "
+                        "folders share compiled programs (approximate; "
+                        "see docs)")
     p.set_defaults(fn=_cmd_infer_teacher)
 
     p = sub.add_parser("infer-student", help="KDLAE-S multi-frame denoise")

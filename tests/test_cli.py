@@ -91,3 +91,42 @@ def test_train_asdqe_cli(tmp_path):
                  "--epochs", "1", "--gt-size", "32", "--accum", "2",
                  "--max-steps-per-epoch", "2"]) == 0
     assert os.listdir(out)  # best/latest checkpoints written
+
+
+def test_infer_teacher_cli_group_mode(tmp_path):
+    """infer-teacher --group-size scans same-shape images through one
+    dispatch; outputs must match the per-image CLI path exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from rethink_acoustic_image_enhancement_tpu.models import flagship_teacher
+    from rethink_acoustic_image_enhancement_tpu.train.checkpoints import (
+        save_weights,
+    )
+
+    model = flagship_teacher(static="test")
+    params = model.init(
+        jax.random.PRNGKey(0),
+        {"img": jnp.zeros((1, 16, 16, 3)),
+         "denoise_rate": jnp.zeros((1, 16, 16, 1))})["params"]
+    w = save_weights(str(tmp_path / "w"), 0, jax.device_get(params))
+
+    src = tmp_path / "in"
+    os.makedirs(src)
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        img = (rng.uniform(0, 1, (16, 24, 3)) * 255).astype(np.uint8)
+        imwrite(str(src / f"{i}.png"), img)
+
+    out_g = tmp_path / "out_g"
+    out_s = tmp_path / "out_s"
+    assert main(["infer-teacher", "--weights", w, "--input", str(src),
+                 "--output", str(out_g), "--group-size", "2"]) == 0
+    assert main(["infer-teacher", "--weights", w, "--input", str(src),
+                 "--output", str(out_s)]) == 0
+    import cv2
+
+    for i in range(3):
+        a = cv2.imread(str(out_g / f"{i}.png"))
+        b = cv2.imread(str(out_s / f"{i}.png"))
+        np.testing.assert_array_equal(a, b)
