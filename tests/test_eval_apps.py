@@ -158,3 +158,19 @@ def test_denoise_group_matches_per_image_including_tail():
     mixed = [imgs[0], rng.random((32, 24, 3)).astype(np.float32)]
     outs = pred.denoise_group(mixed, zero_mask=False)
     assert [o["hq"].shape for o in outs] == [im.shape for im in mixed]
+
+
+def test_student_denoise_batch_matches_single():
+    """Batched student serving is exact: per-stack results equal batch-1
+    calls (no cross-image coupling in the 3D-conv U-Net)."""
+    model = KDLAEStudent(residual=True, hidden_channels=(4, 8))
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 3, 32, 32)))["params"]
+    pred = StudentPredictor(params=params, model=model, multiple_of=4,
+                            num_frames=3)
+    rng = np.random.default_rng(0)
+    stacks = rng.random((3, 3, 20, 24)).astype(np.float32)
+    batched = pred.denoise_batch(stacks)
+    assert batched.shape == stacks.shape and batched.dtype == np.uint8
+    for i in range(3):
+        np.testing.assert_array_equal(batched[i], pred(stacks[i]))
