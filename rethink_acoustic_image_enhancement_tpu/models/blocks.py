@@ -189,7 +189,7 @@ class TransformerBlock(nn.Module):
                 p["norm2"]["weight"], p["norm2"].get("bias"),
                 p["ffn"]["project_in"]["kernel"], p["ffn"]["dwconv"]["kernel"],
                 p["ffn"]["project_out"]["kernel"],
-                bias_free=self.bias_free_ln)
+                bias_free=self.bias_free_ln, num_heads=self.num_heads)
 
         x = x + attn(norm1(x))
         return x + ffn(norm2(x))

@@ -26,10 +26,11 @@ so window row w = unpadded row i*th + w - 2. The window is (th+8, tw+8):
   - final GDFN dwconv valid output               -> the (th, tw) tile
 
 x is read twice and y written once: ~150 MB/block at 512^2 x 96ch vs the
-XLA path's ~1+ GB. Scope (asserted): batch 1, num_heads 1 — exactly the
-teacher's hot full-resolution blocks (decoder_level1 / refinement /
-refinement_out at 512^2, dim 96, heads 1). Everything else falls back to
-the XLA composition.
+XLA path's ~1+ GB. Scope (asserted): batch 1; any head count dividing C
+(multi-head MDTA's per-head Grams are the diagonal blocks of the full
+C x C Gram, so heads reduce to a block-masked softmax over the same
+accumulators — covers the teacher's encoder/decoder levels 2-4 too).
+Everything else falls back to the XLA composition.
 
 Status: correctness vehicle for docs/perf_plan.md strategy 1 (round 2
 performance work); parity-tested against the XLA TransformerBlock.
@@ -52,11 +53,12 @@ _L2_EPS = 1e-12  # torch F.normalize eps (KDLAE_model.py:134-135)
 def mega_worthwhile(batch: int, h: int, w: int, c: int, num_heads: int,
                     bias_free: bool, use_bias: bool,
                     expansion: float = 2.66) -> bool:
-    """Kernel scope + measured-win policy: batch 1, heads 1, BiasFree,
-    bias-free convs, large spatial extent, low channel padding. Measured
-    on v5e at 512^2 x 96: 5.77 vs 6.97 ms/block inside an 8-block stack
+    """Kernel scope + measured-win policy: batch 1, heads dividing C
+    (multi-head is exact via block-masked softmax), BiasFree, bias-free
+    convs, large spatial extent, low channel padding. Measured on v5e at
+    512^2 x 96: 5.77 vs 6.97 ms/block inside an 8-block stack
     (2.1x standalone)."""
-    if batch != 1 or num_heads != 1 or not bias_free or use_bias:
+    if batch != 1 or c % num_heads != 0 or not bias_free or use_bias:
         return False
     c_pad = -(-c // 128) * 128
     f_pad = -(-int(c * expansion) // 128) * 128
@@ -79,7 +81,7 @@ def _kernel(x_hbm, ln1_w, ln1_b, w_qkv, dw_qkv, temp, w_proj,
             o_ref,
             x_vmem, gram, qn, kn, sem,
             *, th, tw, c, c_pad, f_pad, bias_free, ln_eps, n_tiles, n_j,
-            debug_stage=None):
+            n_heads=1, debug_stage=None):
     phase = pl.program_id(0)
     tile = pl.program_id(1)
 
@@ -150,13 +152,28 @@ def _kernel(x_hbm, ln1_w, ln1_b, w_qkv, dw_qkv, temp, w_proj,
         qnorm = jnp.maximum(jnp.sqrt(qn[...]), _L2_EPS)  # (1, c_pad)
         knorm = jnp.maximum(jnp.sqrt(kn[...]), _L2_EPS)
         logits = gram[...] / qnorm.reshape(c_pad, 1) / knorm.reshape(1, c_pad)
-        logits = logits * temp[0]
-        # mask padded key lanes out of the softmax
+        # per-head temperature as a per-LANE vector: within a same-head
+        # block temp[head(lane)] == temp[head(row)], and cross-head entries
+        # are masked below, so lane-indexed scaling is exact
+        logits = logits * temp[...]
+        # multi-head MDTA = block-diagonal attention: the per-head Gram is
+        # the (head, head) diagonal block of the full c x c Gram, so mask
+        # cross-head entries (and padded lanes) out of the softmax. Static
+        # unroll over <= 8 heads keeps this pure vector ops (Mosaic-safe).
+        row = jax.lax.broadcasted_iota(jnp.int32, (c_pad, c_pad), 0)
         lane = jax.lax.broadcasted_iota(jnp.int32, (c_pad, c_pad), 1)
-        logits = jnp.where(lane < c, logits, -1e30)
+        hc = c // n_heads
+        same_head = row < 0  # all-False
+        for hh in range(n_heads):
+            lo, hi = hh * hc, (hh + 1) * hc
+            same_head = same_head | ((row >= lo) & (row < hi)
+                                     & (lane >= lo) & (lane < hi))
+        logits = jnp.where(same_head & (lane < c), logits, -1e30)
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m)
         attn = e / jnp.sum(e, axis=-1, keepdims=True)  # (c_q, c_k)
+        # fully-masked padded rows give a uniform finite attn row; those
+        # output channels hit zero rows of w_proj and vanish
 
         # attention applied per pixel of the halo'd region (exact: the
         # attn matrix is global, application is pixelwise linear)
@@ -225,16 +242,20 @@ def _kernel(x_hbm, ln1_w, ln1_b, w_qkv, dw_qkv, temp, w_proj,
 
 
 @functools.partial(jax.jit, static_argnames=("bias_free", "ln_eps",
-                                             "interpret", "debug_stage"))
+                                             "num_heads", "interpret",
+                                             "debug_stage"))
 def fused_transformer_block(
     x, ln1_w, ln1_b, w_qkv, dw_qkv, temperature, w_proj,
     ln2_w, ln2_b, w_in, w_dw, w_out,
-    bias_free: bool = True, ln_eps: float = 1e-5,
+    bias_free: bool = True, ln_eps: float = 1e-5, num_heads: int = 1,
     interpret: bool | None = None, debug_stage=None,
 ):
-    """Whole TransformerBlock (batch 1, heads 1). Weight layouts are the
-    flax module kernels: w_qkv (1,1,C,3C), dw_qkv (3,3,1,3C),
-    w_proj (1,1,C,C), w_in (1,1,C,2F), w_dw (3,3,1,2F), w_out (1,1,F,C).
+    """Whole TransformerBlock (batch 1, any head count dividing C: the
+    per-head Gram matrices are the diagonal blocks of the full C x C Gram,
+    so multi-head is a block-masked softmax over the same accumulators).
+    Weight layouts are the flax module kernels: w_qkv (1,1,C,3C), dw_qkv
+    (3,3,1,3C), w_proj (1,1,C,C), w_in (1,1,C,2F), w_dw (3,3,1,2F),
+    w_out (1,1,F,C).
 
     GDFN border semantics: the reference zero-pads the FFN depthwise conv
     at the IMAGE border (torch padding=1); here the image border sees the
@@ -298,7 +319,12 @@ def fused_transformer_block(
         ln2_b = jnp.zeros((c,), jnp.float32)
     ln1_w_p, ln1_b_p = pad_lane(ln1_w, c_pad), pad_lane(ln1_b, c_pad)
     ln2_w_p, ln2_b_p = pad_lane(ln2_w, c_pad), pad_lane(ln2_b, c_pad)
-    temp = jnp.asarray(temperature, jnp.float32).reshape(-1)[:1]
+    assert c % num_heads == 0, (c, num_heads)
+    tvec = jnp.asarray(temperature, jnp.float32).reshape(-1)
+    assert tvec.shape[0] == num_heads, (tvec.shape, num_heads)
+    # per-lane temperature: temp[head(lane)] for real lanes, 0 for padding
+    lane_heads = jnp.arange(c) // (c // num_heads)
+    temp = jnp.zeros((1, c_pad), jnp.float32).at[0, :c].set(tvec[lane_heads])
 
     def vspec(*shape):
         return pl.BlockSpec(shape, lambda p, t: tuple(0 for _ in shape),
@@ -307,7 +333,7 @@ def fused_transformer_block(
     kern = functools.partial(
         _kernel, th=th, tw=tw, c=c, c_pad=c_pad, f_pad=f_pad,
         bias_free=bias_free, ln_eps=ln_eps, n_tiles=n_tiles, n_j=n_j,
-        debug_stage=debug_stage)
+        n_heads=num_heads, debug_stage=debug_stage)
     out = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((1, h, w, c_pad), x.dtype),
@@ -315,7 +341,8 @@ def fused_transformer_block(
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
             vspec(c_pad), vspec(c_pad),
-            vspec(c_pad, 3 * c_pad), vspec(3, 3, 3 * c_pad), vspec(1),
+            vspec(c_pad, 3 * c_pad), vspec(3, 3, 3 * c_pad),
+            vspec(1, c_pad),
             vspec(c_pad, c_pad),
             vspec(c_pad), vspec(c_pad),
             vspec(c_pad, 2 * f_pad), vspec(3, 3, 2 * f_pad),

@@ -13,14 +13,14 @@ from rethink_acoustic_image_enhancement_tpu.ops.pallas.block import (
 )
 
 
-def _block_and_params(c, seed=0):
-    block = TransformerBlock(dim=c, num_heads=1, bias_free_ln=True)
+def _block_and_params(c, seed=0, num_heads=1):
+    block = TransformerBlock(dim=c, num_heads=num_heads, bias_free_ln=True)
     x0 = jnp.zeros((1, 16, 16, c))
     params = block.init(jax.random.PRNGKey(seed), x0)["params"]
     return block, params
 
 
-def _run_fused(params, x):
+def _run_fused(params, x, num_heads=1):
     p = params
     return fused_transformer_block(
         x,
@@ -30,7 +30,7 @@ def _run_fused(params, x):
         p["norm2"]["weight"], p["norm2"].get("bias"),
         p["ffn"]["project_in"]["kernel"], p["ffn"]["dwconv"]["kernel"],
         p["ffn"]["project_out"]["kernel"],
-        bias_free=True, interpret=True)
+        bias_free=True, num_heads=num_heads, interpret=True)
 
 
 @pytest.mark.parametrize("hw", [(8, 8), (16, 24)])  # single- and multi-tile
@@ -62,5 +62,24 @@ def test_megakernel_matches_on_sonar_like_data():
     x = jnp.asarray(rng.uniform(size=(1, 16, 16, c)).astype(np.float32))
     ref = block.apply({"params": params}, x)
     got = _run_fused(params, x)
+    scale = float(jnp.max(jnp.abs(ref)))
+    assert float(jnp.max(jnp.abs(got - ref))) / scale < 2e-2
+
+
+@pytest.mark.parametrize("num_heads", [2, 4, 8])
+def test_megakernel_multihead_parity(num_heads):
+    """heads > 1: block-masked softmax over the full Gram must equal the
+    XLA multi-head MDTA block exactly (per-head Grams are the diagonal
+    blocks; per-head temperature rides the key lanes)."""
+    c = 48
+    block, params = _block_and_params(c, seed=2, num_heads=num_heads)
+    # distinct per-head temperatures so a head-mixing bug cannot cancel
+    t = jnp.arange(1, num_heads + 1, dtype=jnp.float32).reshape(-1, 1, 1)
+    params = jax.tree_util.tree_map(lambda v: v, params)
+    params = {**params, "attn": {**params["attn"], "temperature": t}}
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(1, 16, 24, c)).astype(np.float32))
+    ref = block.apply({"params": params}, x)
+    got = _run_fused(params, x, num_heads=num_heads)
     scale = float(jnp.max(jnp.abs(ref)))
     assert float(jnp.max(jnp.abs(got - ref))) / scale < 2e-2
