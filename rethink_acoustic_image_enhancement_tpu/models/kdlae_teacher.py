@@ -44,9 +44,9 @@ class TransformerStage(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         use_stage = self.fused and not self.is_initializing()
         if use_stage:
-            from ..ops.pallas.block import mega_worthwhile
+            from ..ops.pallas.stage import stage_worthwhile
 
-            use_stage = mega_worthwhile(
+            use_stage = stage_worthwhile(
                 x.shape[0], x.shape[1], x.shape[2], self.dim,
                 self.num_heads, self.bias_free_ln, self.use_bias,
                 self.ffn_expansion_factor)

@@ -54,11 +54,12 @@ def mega_worthwhile(batch: int, h: int, w: int, c: int, num_heads: int,
                     bias_free: bool, use_bias: bool,
                     expansion: float = 2.66) -> bool:
     """Kernel scope + measured-win policy: batch 1, heads dividing C
-    (multi-head is exact via block-masked softmax), BiasFree, bias-free
-    convs, large spatial extent, low channel padding. Measured on v5e at
-    512^2 x 96: 5.77 vs 6.97 ms/block inside an 8-block stack
-    (2.1x standalone)."""
-    if batch != 1 or c % num_heads != 0 or not bias_free or use_bias:
+    (multi-head is exact via block-masked softmax), either LayerNorm
+    variant, bias-free convs, large spatial extent, low channel padding.
+    Measured on v5e at 512^2 x 96: 5.77 vs 6.97 ms/block inside an
+    8-block stack (2.1x standalone)."""
+    del bias_free  # both LN variants supported (parity-tested)
+    if batch != 1 or c % num_heads != 0 or use_bias:
         return False
     c_pad = -(-c // 128) * 128
     f_pad = -(-int(c * expansion) // 128) * 128

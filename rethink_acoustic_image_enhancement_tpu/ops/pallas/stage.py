@@ -194,6 +194,20 @@ def _kernel(x_hbm, ln1_w, w_qkv, dw_qkv, temp, w_proj,
             cp.wait()
 
 
+def stage_worthwhile(batch: int, h: int, w: int, c: int, num_heads: int,
+                     bias_free: bool, use_bias: bool,
+                     expansion: float = 2.66) -> bool:
+    """Stage-kernel gate: the STACKED kernel still covers only heads 1 +
+    BiasFree LN (the block kernel's multi-head / WithBias extensions are
+    not ported here), on top of the shared tiling/size policy."""
+    from .block import mega_worthwhile
+
+    if num_heads != 1 or not bias_free:
+        return False
+    return mega_worthwhile(batch, h, w, c, num_heads, bias_free, use_bias,
+                           expansion)
+
+
 @functools.partial(jax.jit, static_argnames=("ln_eps", "interpret"))
 def fused_transformer_stage(
     x,

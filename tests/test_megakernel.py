@@ -13,14 +13,15 @@ from rethink_acoustic_image_enhancement_tpu.ops.pallas.block import (
 )
 
 
-def _block_and_params(c, seed=0, num_heads=1):
-    block = TransformerBlock(dim=c, num_heads=num_heads, bias_free_ln=True)
+def _block_and_params(c, seed=0, num_heads=1, bias_free=True):
+    block = TransformerBlock(dim=c, num_heads=num_heads,
+                             bias_free_ln=bias_free)
     x0 = jnp.zeros((1, 16, 16, c))
     params = block.init(jax.random.PRNGKey(seed), x0)["params"]
     return block, params
 
 
-def _run_fused(params, x, num_heads=1):
+def _run_fused(params, x, num_heads=1, bias_free=True):
     p = params
     return fused_transformer_block(
         x,
@@ -30,7 +31,7 @@ def _run_fused(params, x, num_heads=1):
         p["norm2"]["weight"], p["norm2"].get("bias"),
         p["ffn"]["project_in"]["kernel"], p["ffn"]["dwconv"]["kernel"],
         p["ffn"]["project_out"]["kernel"],
-        bias_free=True, num_heads=num_heads, interpret=True)
+        bias_free=bias_free, num_heads=num_heads, interpret=True)
 
 
 @pytest.mark.parametrize("hw", [(8, 8), (16, 24)])  # single- and multi-tile
@@ -81,5 +82,24 @@ def test_megakernel_multihead_parity(num_heads):
     x = jnp.asarray(rng.normal(size=(1, 16, 24, c)).astype(np.float32))
     ref = block.apply({"params": params}, x)
     got = _run_fused(params, x, num_heads=num_heads)
+    scale = float(jnp.max(jnp.abs(ref)))
+    assert float(jnp.max(jnp.abs(got - ref))) / scale < 2e-2
+
+
+def test_megakernel_withbias_layernorm_parity():
+    """WithBias channel-LN (the Restormer baseline default): mean-centered
+    LN with a learned bias inside the kernel must match the XLA block."""
+    c = 48
+    block, params = _block_and_params(c, seed=4, bias_free=False)
+    # non-zero LN biases so the WithBias path is actually exercised
+    params = {**params,
+              "norm1": {**params["norm1"],
+                        "bias": jnp.linspace(-0.2, 0.2, c)},
+              "norm2": {**params["norm2"],
+                        "bias": jnp.linspace(0.1, -0.1, c)}}
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(1, 16, 24, c)).astype(np.float32))
+    ref = block.apply({"params": params}, x)
+    got = _run_fused(params, x, bias_free=False)
     scale = float(jnp.max(jnp.abs(ref)))
     assert float(jnp.max(jnp.abs(got - ref))) / scale < 2e-2
