@@ -45,7 +45,8 @@ def _kernel(x_hbm, ln1_w, w_qkv, dw_qkv, temp, w_proj,
             ln2_w, w_in, w_dw, w_out, zeros_a, zeros_b,
             buf_a, buf_b,
             win, tile_out, gram, qn, kn, sem_in, sem_out,
-            *, th, tw, c, c_pad, f_pad, ln_eps, n_blocks, n_tiles, n_j):
+            *, th, tw, c, c_pad, f_pad, ln_eps, n_blocks, n_tiles, n_j,
+            n_heads=1):
     del zeros_a, zeros_b  # aliased to buf_a/buf_b (same storage)
     blk = pl.program_id(0)
     phase = pl.program_id(1)
@@ -122,9 +123,18 @@ def _kernel(x_hbm, ln1_w, w_qkv, dw_qkv, temp, w_proj,
         qnorm = jnp.maximum(jnp.sqrt(qn[...]), _L2_EPS)
         knorm = jnp.maximum(jnp.sqrt(kn[...]), _L2_EPS)
         logits = gram[...] / qnorm.reshape(c_pad, 1) / knorm.reshape(1, c_pad)
-        logits = logits * temp[0, 0, 0]
+        # per-head temperature rides the key lanes (exact within same-head
+        # blocks; cross-head entries are masked below — see block.py)
+        logits = logits * temp[0]
+        row = jax.lax.broadcasted_iota(jnp.int32, (c_pad, c_pad), 0)
         lane = jax.lax.broadcasted_iota(jnp.int32, (c_pad, c_pad), 1)
-        logits = jnp.where(lane < c, logits, -1e30)
+        hc = c // n_heads
+        same_head = row < 0
+        for hh in range(n_heads):
+            lo, hi = hh * hc, (hh + 1) * hc
+            same_head = same_head | ((row >= lo) & (row < hi)
+                                     & (lane >= lo) & (lane < hi))
+        logits = jnp.where(same_head & (lane < c), logits, -1e30)
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp(logits - m)
         attn = e / jnp.sum(e, axis=-1, keepdims=True)
@@ -197,12 +207,12 @@ def _kernel(x_hbm, ln1_w, w_qkv, dw_qkv, temp, w_proj,
 def stage_worthwhile(batch: int, h: int, w: int, c: int, num_heads: int,
                      bias_free: bool, use_bias: bool,
                      expansion: float = 2.66) -> bool:
-    """Stage-kernel gate: the STACKED kernel still covers only heads 1 +
-    BiasFree LN (the block kernel's multi-head / WithBias extensions are
-    not ported here), on top of the shared tiling/size policy."""
+    """Stage-kernel gate: heads dividing C (block-masked softmax, same as
+    block.py) but still BiasFree LN only (no LN-bias plumbing here), on
+    top of the shared tiling/size policy."""
     from .block import mega_worthwhile
 
-    if num_heads != 1 or not bias_free:
+    if not bias_free:
         return False
     return mega_worthwhile(batch, h, w, c, num_heads, bias_free, use_bias,
                            expansion)
@@ -215,9 +225,10 @@ def fused_transformer_stage(
     ln_eps: float = 1e-5,
     interpret: bool | None = None,
 ):
-    """Run n_blocks TransformerBlocks (batch 1, heads 1, BiasFree) in one
-    pallas call. Every weight arg is STACKED with a leading n_blocks dim,
-    in the flax kernel layouts:
+    """Run n_blocks TransformerBlocks (batch 1, any head count dividing C,
+    BiasFree) in one pallas call; the head count is read off the
+    temperature's second dim. Every weight arg is STACKED with a leading
+    n_blocks dim, in the flax kernel layouts:
       ln1_w/ln2_w (N, C); w_qkv (N, 1, 1, C, 3C); dw_qkv (N, 3, 3, 1, 3C);
       temperature (N, heads, 1, 1) or (N, 1); w_proj (N, 1, 1, C, C);
       w_in (N, 1, 1, C, 2F); w_dw (N, 3, 3, 1, 2F); w_out (N, 1, 1, F, C).
@@ -235,7 +246,9 @@ def fused_transformer_stage(
     f = two_f // 2
     w_dw = w_dw.reshape(n_blocks, 3, 3, two_f)
     w_out = w_out.reshape(n_blocks, f, c)
-    temp = jnp.asarray(temperature, jnp.float32).reshape(n_blocks, -1)[:, :1]
+    tvec = jnp.asarray(temperature, jnp.float32).reshape(n_blocks, -1)
+    n_heads = tvec.shape[1]
+    assert c % n_heads == 0, (c, n_heads)
 
     c_pad = -(-c // 128) * 128
     f_pad = -(-f // 128) * 128
@@ -277,7 +290,10 @@ def fused_transformer_stage(
     # block shape satisfies Mosaic's last-two-dims rule
     ln1_w_p = pad_lane2(ln1_w, c_pad).reshape(n_blocks, 1, c_pad)
     ln2_w_p = pad_lane2(ln2_w, c_pad).reshape(n_blocks, 1, c_pad)
-    temp = temp.reshape(n_blocks, 1, 1)
+    # per-block, per-LANE temperature: temp[b, head(lane)] (see kernel)
+    lane_heads = jnp.arange(c) // (c // n_heads)
+    temp = jnp.zeros((n_blocks, 1, c_pad), jnp.float32).at[:, 0, :c].set(
+        tvec[:, lane_heads])
 
     def wspec(*shape):
         return pl.BlockSpec((1, *shape),
@@ -286,7 +302,8 @@ def fused_transformer_stage(
 
     kern = functools.partial(
         _kernel, th=th, tw=tw, c=c, c_pad=c_pad, f_pad=f_pad,
-        ln_eps=ln_eps, n_blocks=n_blocks, n_tiles=n_tiles, n_j=n_j)
+        ln_eps=ln_eps, n_blocks=n_blocks, n_tiles=n_tiles, n_j=n_j,
+        n_heads=n_heads)
     buf_a, buf_b = pl.pallas_call(
         kern,
         out_shape=(jax.ShapeDtypeStruct((1, h + 16, w + 16, c_pad), x.dtype),
@@ -297,7 +314,7 @@ def fused_transformer_stage(
             wspec(1, c_pad),                     # ln1_w
             wspec(c_pad, 3 * c_pad),             # w_qkv
             wspec(3, 3, 3 * c_pad),              # dw_qkv
-            wspec(1, 1),                         # temperature
+            wspec(1, c_pad),                     # temperature (per lane)
             wspec(c_pad, c_pad),                 # w_proj
             wspec(1, c_pad),                     # ln2_w
             wspec(c_pad, 2 * f_pad),             # w_in

@@ -65,3 +65,29 @@ def test_stage_single_block_equals_block_kernel():
                                      interpret=True)
     scale = float(jnp.max(jnp.abs(single))) + 1e-6
     assert float(jnp.max(jnp.abs(staged - single))) / scale < 1e-2
+
+
+@pytest.mark.parametrize("num_heads", [2, 4])
+def test_stage_multihead_parity(num_heads):
+    """Multi-head stacks: block-masked softmax with per-block per-head
+    temperatures must equal sequential XLA multi-head blocks."""
+    c = 48
+    n_blocks = 2
+    block = TransformerBlock(dim=c, num_heads=num_heads, bias_free_ln=True)
+    x0 = jnp.zeros((1, 16, 16, c))
+    params = []
+    for i in range(n_blocks):
+        p = block.init(jax.random.PRNGKey(10 + i), x0)["params"]
+        t = jnp.arange(1, num_heads + 1, dtype=jnp.float32
+                       ).reshape(-1, 1, 1) * (i + 1)
+        params.append({**p, "attn": {**p["attn"], "temperature": t}})
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(1, 16, 24, c)).astype(np.float32))
+    ref = x
+    for p in params:
+        ref = block.apply({"params": p}, ref)
+    got = fused_transformer_stage(x, **stack_block_params(params),
+                                  interpret=True)
+    scale = float(jnp.max(jnp.abs(ref)))
+    assert float(jnp.max(jnp.abs(got - ref))) / scale < 3e-2
