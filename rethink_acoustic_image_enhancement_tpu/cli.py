@@ -111,20 +111,37 @@ def _cmd_infer_teacher(args) -> int:
         print(f"{p} -> {os.path.join(args.output, base)}")
 
     if args.group_size > 1 and len(paths) > 1:
-        # serving-group mode: same-shape runs go through one scan dispatch
-        # (bit-identical to per-image; see TeacherPredictor.denoise_group)
+        # serving-group mode: images sharing a compiled shape stream
+        # through scan dispatches (bit-identical to per-image; see
+        # TeacherPredictor.denoise_group). Buffers hold at most
+        # group_size decoded images per distinct shape — constant memory
+        # on arbitrarily large folders.
         from .utils.image_io import imread_rgb
 
-        by_shape: dict[tuple, list] = {}
-        for p in paths:
-            img = imread_rgb(p)
-            by_shape.setdefault(img.shape, []).append((p, img))
-        for shape, items in by_shape.items():
+        def _key(shape):
+            if args.shape_bucket:  # same padded program -> same group
+                b = args.shape_bucket
+                return (-(-shape[0] // b) * b, -(-shape[1] // b) * b)
+            return shape[:2]
+
+        def _flush(items):
             outs = pred.denoise_group([im for _, im in items],
                                       denoise_rate=args.denoise_rate,
                                       group_size=args.group_size)
             for (p, _), out in zip(items, outs):
                 write(p, out)
+
+        buffers: dict[tuple, list] = {}
+        for p in paths:
+            img = imread_rgb(p)
+            buf = buffers.setdefault(_key(img.shape), [])
+            buf.append((p, img))
+            if len(buf) == args.group_size:
+                _flush(buf)
+                buf.clear()
+        for buf in buffers.values():
+            if buf:
+                _flush(buf)
         return 0
 
     for p in paths:

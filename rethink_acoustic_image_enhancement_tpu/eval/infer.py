@@ -96,8 +96,9 @@ class TeacherPredictor:
         else:
             self._n_spatial = 1
 
-    def _place_inputs(self, x: jnp.ndarray, rate: jnp.ndarray):
-        """Shard (1, H, W, C) inputs over the spatial mesh; replicate params
+    def _place_inputs(self, x: np.ndarray, rate: np.ndarray):
+        """Shard (1, H, W, C) host arrays over the spatial mesh (one H2D
+        each — no staging copy on the default device); replicate params
         once on first use."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -107,8 +108,9 @@ class TeacherPredictor:
         if self._placed_params is None:
             self._placed_params = jax.device_put(
                 self.params, replicated(self.mesh))
-        return (self._placed_params, jax.device_put(x, spec),
-                jax.device_put(rate, spec))
+        return (self._placed_params,
+                jax.device_put(x, spec).astype(self.dtype),
+                jax.device_put(rate, spec).astype(self.dtype))
 
     def _forward(self, params, img, rate_plane):
         # fp32 quality path pins matmul precision so TPU fp32 matches the
@@ -140,11 +142,11 @@ class TeacherPredictor:
         pw = _round_up(w, self.shape_bucket or self.multiple_of) - w
         x = _pad_reflect_np(img_rgb[None], ph, pw).astype(np.float32)
         rate = np.full((1, x.shape[1], x.shape[2], 1), denoise_rate, np.float32)
-        args = (self.params, jnp.asarray(x, self.dtype),
-                jnp.asarray(rate, self.dtype))
         if self.mesh is not None:
-            args = self._place_inputs(jnp.asarray(x, self.dtype),
-                                      jnp.asarray(rate, self.dtype))
+            args = self._place_inputs(x, rate)
+        else:
+            args = (self.params, jnp.asarray(x, self.dtype),
+                    jnp.asarray(rate, self.dtype))
         hq, sr = self._apply(*args)
         hq = np.asarray(hq[0, :h, :w])
         out = {}
@@ -170,15 +172,29 @@ class TeacherPredictor:
         (measured +4% img/s on v5e at 512px, bench.py). Numerics are
         bit-identical to per-image ``__call__`` — scan iterates the
         leading dim and every model op is per-image (on-chip parity:
-        PERF_SWEEP2.json scan_parity_max_abs_diff = 0.0). Images of
-        different shapes fall back to per-image calls.
+        PERF_SWEEP2.json scan_parity_max_abs_diff = 0.0). With
+        ``shape_bucket`` set, images whose BUCKETED padded size matches
+        scan together (each cropped back to its own size); without it,
+        raw shapes must match. Everything else — including mesh mode,
+        whose even-split padding differs — falls back to per-image calls.
         """
         if not imgs_rgb:
             return []
-        shape0 = imgs_rgb[0].shape
-        if any(im.shape != shape0 for im in imgs_rgb):
+        if self.mesh is not None:
+            # spatial-mesh mode is a latency path for huge frames; its
+            # padded sizes differ from the scan path's, so keep numerics
+            # consistent by serving per image
             return [self(im, denoise_rate, zero_mask=zero_mask)
                     for im in imgs_rgb]
+        shape0 = imgs_rgb[0].shape
+        if any(im.shape != shape0 for im in imgs_rgb):
+            m_b = self.shape_bucket
+            targets = {( _round_up(im.shape[0], m_b),
+                         _round_up(im.shape[1], m_b)) for im in imgs_rgb} \
+                if m_b else None
+            if not (m_b and len(targets) == 1):
+                return [self(im, denoise_rate, zero_mask=zero_mask)
+                        for im in imgs_rgb]
 
         if not hasattr(self, "_scan_apply"):
             def scan_fwd(params, imgs, rates):
@@ -191,9 +207,9 @@ class TeacherPredictor:
 
             self._scan_apply = jax.jit(scan_fwd)
 
-        h, w, _ = shape0
         m = self.shape_bucket or self.multiple_of
-        ph, pw = _round_up(h, m) - h, _round_up(w, m) - w
+        target_h = _round_up(shape0[0], m)
+        target_w = _round_up(shape0[1], m)
         results: list[dict] = []
         for base in range(0, len(imgs_rgb), group_size):
             chunk = imgs_rgb[base:base + group_size]
@@ -204,14 +220,17 @@ class TeacherPredictor:
                 results.extend(self(im, denoise_rate, zero_mask=zero_mask)
                                for im in chunk)
                 continue
-            x = np.stack([_pad_reflect_np(im[None], ph, pw)
-                          for im in chunk]).astype(np.float32)
-            rates = np.full((len(chunk), 1, x.shape[2], x.shape[3], 1),
+            x = np.stack([
+                _pad_reflect_np(im[None], target_h - im.shape[0],
+                                target_w - im.shape[1])
+                for im in chunk]).astype(np.float32)
+            rates = np.full((len(chunk), 1, target_h, target_w, 1),
                             denoise_rate, np.float32)
             hqs, srs = self._scan_apply(self.params,
                                         jnp.asarray(x, self.dtype),
                                         jnp.asarray(rates, self.dtype))
             for j, im in enumerate(chunk):
+                h, w = im.shape[:2]
                 hq = np.asarray(hqs[j, 0, :h, :w])
                 out = {}
                 if zero_mask:

@@ -3,9 +3,9 @@
 The round-2 performance vehicle (docs/perf_plan.md): the per-block
 megakernel (ops/pallas/block.py) wins standalone but loses in-model to
 XLA layout transitions at every kernel boundary. This kernel runs a whole
-STACK of blocks (the teacher's hot tail is 12 consecutive eligible blocks
-at 512^2 x 96, heads 1) inside one pallas_call, so the layout transition
-happens once on entry and once on exit:
+STACK of blocks (e.g. the teacher's hot tail: 12 consecutive blocks at
+512^2 x 96) inside one pallas_call, so the layout transition happens once
+on entry and once on exit:
 
   grid (block, phase, tile), strictly sequential on TPU.
   feature maps ping-pong through two HBM buffers with a zeroed border
@@ -23,7 +23,9 @@ sizes on the sublane axis must be 8-aligned). Halo reads fetch an aligned
 
 Block math is identical to ops/pallas/block.py (exact parity vs the XLA
 TransformerBlock, including tile seams and the torch zero-padded GDFN
-border). Scope: batch 1, heads 1, BiasFree LN, bias-free convs.
+border). Scope: batch 1, any head count dividing C (multi-head =
+block-masked softmax over the full Gram, see block.py), BiasFree LN,
+bias-free convs.
 """
 
 from __future__ import annotations

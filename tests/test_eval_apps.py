@@ -174,3 +174,20 @@ def test_student_denoise_batch_matches_single():
     assert batched.shape == stacks.shape and batched.dtype == np.uint8
     for i in range(3):
         np.testing.assert_array_equal(batched[i], pred(stacks[i]))
+
+
+def test_denoise_group_bucketed_mixed_shapes():
+    """With shape_bucket set, mixed-size images sharing a bucketed padded
+    size scan together and match the bucketed per-image path exactly."""
+    model, params = _small_teacher()
+    pred = TeacherPredictor(params=params, model=model, shape_bucket=16)
+    rng = np.random.default_rng(1)
+    shapes = [(20, 28), (24, 30), (18, 32), (22, 26)]  # all -> (32, 32)
+    imgs = [rng.random((h, w, 3)).astype(np.float32) for h, w in shapes]
+
+    grouped = pred.denoise_group(imgs, denoise_rate=0.5, zero_mask=False,
+                                 group_size=4)
+    for im, g in zip(imgs, grouped):
+        s = pred(im, denoise_rate=0.5, zero_mask=False)
+        assert g["hq"].shape == im.shape
+        np.testing.assert_array_equal(g["hq"], s["hq"])

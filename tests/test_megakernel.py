@@ -76,7 +76,6 @@ def test_megakernel_multihead_parity(num_heads):
     block, params = _block_and_params(c, seed=2, num_heads=num_heads)
     # distinct per-head temperatures so a head-mixing bug cannot cancel
     t = jnp.arange(1, num_heads + 1, dtype=jnp.float32).reshape(-1, 1, 1)
-    params = jax.tree_util.tree_map(lambda v: v, params)
     params = {**params, "attn": {**params["attn"], "temperature": t}}
     rng = np.random.default_rng(3)
     x = jnp.asarray(rng.normal(size=(1, 16, 24, c)).astype(np.float32))
