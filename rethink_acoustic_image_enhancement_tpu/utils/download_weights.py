@@ -25,6 +25,63 @@ WEIGHTS = {
 }
 
 
+def gdrive_confirm_token(cookies: dict) -> str | None:
+    """Google Drive 'large file' interstitial: the confirm token arrives
+    as a ``download_warning*`` cookie (reference download_util.py:40-44)."""
+    for key, value in cookies.items():
+        if key.startswith("download_warning"):
+            return value
+    return None
+
+
+def _urllib_fetch(url: str, params: dict):
+    """(cookies dict, byte-chunk iterator) for a GET with query params."""
+    import http.cookiejar
+    import urllib.parse
+
+    jar = http.cookiejar.CookieJar()
+    opener = urllib.request.build_opener(
+        urllib.request.HTTPCookieProcessor(jar))
+    sep = "&" if "?" in url else "?"
+    resp = opener.open(url + sep + urllib.parse.urlencode(params))
+    cookies = {c.name: c.value for c in jar}
+
+    def stream(chunk_size=32768):
+        while True:
+            chunk = resp.read(chunk_size)
+            if not chunk:
+                break
+            yield chunk
+
+    return cookies, stream()
+
+
+def download_from_google_drive(file_id: str, save_path: str,
+                               fetch=None, log=print) -> int:
+    """Stream a Google Drive file to disk (reference
+    download_util.py:8-37 behavior: initial GET, confirm-token retry for
+    large files, chunked write). ``fetch(url, params) -> (cookies,
+    chunk_iter)`` is injectable for tests/custom transports; returns the
+    byte count written."""
+    base = "https://docs.google.com/uc?export=download"
+    fetch = fetch or _urllib_fetch
+    params = {"id": file_id}
+    cookies, stream = fetch(base, params)
+    token = gdrive_confirm_token(cookies)
+    if token:
+        params["confirm"] = token
+        _, stream = fetch(base, params)
+    written = 0
+    os.makedirs(os.path.dirname(os.path.abspath(save_path)), exist_ok=True)
+    with open(save_path, "wb") as f:
+        for chunk in stream:
+            if chunk:  # skip keep-alive chunks
+                f.write(chunk)
+                written += len(chunk)
+    log(f"downloaded {written} bytes -> {save_path}")
+    return written
+
+
 def download(name: str, dest_dir: str) -> str:
     os.makedirs(dest_dir, exist_ok=True)
     dest = os.path.join(dest_dir, name)

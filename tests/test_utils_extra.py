@@ -101,3 +101,43 @@ def test_gaussian_denoising_dataset(tmp_path):
     s = ds_test[1]
     assert s["lq"].shape[-1] == 1
     assert abs((s["lq"] - s["gt"]).std() - 15 / 255) < 3 / 255
+
+
+def test_gdrive_download_confirm_token_flow(tmp_path):
+    """Google-Drive fetcher: large-file confirm-token retry + chunked
+    write (reference download_util.py:8-44), with an injected transport."""
+    from rethink_acoustic_image_enhancement_tpu.utils.download_weights import (
+        download_from_google_drive,
+        gdrive_confirm_token,
+    )
+
+    assert gdrive_confirm_token({"download_warning_x": "tok"}) == "tok"
+    assert gdrive_confirm_token({"other": "v"}) is None
+
+    calls = []
+    payload = [b"abc", b"", b"defg"]  # empty chunk must be skipped
+
+    def fake_fetch(url, params):
+        calls.append(dict(params))
+        if "confirm" not in params:
+            return {"download_warning_abc": "T0K"}, iter([b"interstitial"])
+        assert params["confirm"] == "T0K"
+        return {}, iter(payload)
+
+    dest = tmp_path / "weights" / "w.pth"
+    n = download_from_google_drive("FILEID", str(dest), fetch=fake_fetch,
+                                  log=lambda m: None)
+    assert n == 7
+    assert dest.read_bytes() == b"abcdefg"
+    assert calls == [{"id": "FILEID"},
+                     {"id": "FILEID", "confirm": "T0K"}]
+
+    # small-file path: no token -> first stream is the content
+    def fake_fetch_small(url, params):
+        return {}, iter([b"xy"])
+
+    dest2 = tmp_path / "w2.pth"
+    assert download_from_google_drive("F2", str(dest2),
+                                      fetch=fake_fetch_small,
+                                      log=lambda m: None) == 2
+    assert dest2.read_bytes() == b"xy"
