@@ -111,41 +111,94 @@ def _cmd_infer_teacher(args) -> int:
         print(f"{p} -> {os.path.join(args.output, base)}")
 
     if args.group_size > 1 and len(paths) > 1:
-        # serving-group mode: images sharing a compiled shape stream
-        # through scan dispatches (bit-identical to per-image; see
-        # TeacherPredictor.denoise_group). Buffers hold at most
-        # group_size decoded images per distinct shape — constant memory
-        # on arbitrarily large folders.
-        from .utils.image_io import imread_rgb
-
-        def _key(shape):
-            if args.shape_bucket:  # same padded program -> same group
-                b = args.shape_bucket
-                return (-(-shape[0] // b) * b, -(-shape[1] // b) * b)
-            return shape[:2]
-
-        def _flush(items):
-            outs = pred.denoise_group([im for _, im in items],
-                                      denoise_rate=args.denoise_rate,
-                                      group_size=args.group_size)
-            for (p, _), out in zip(items, outs):
-                write(p, out)
-
-        buffers: dict[tuple, list] = {}
-        for p in paths:
-            img = imread_rgb(p)
-            buf = buffers.setdefault(_key(img.shape), [])
-            buf.append((p, img))
-            if len(buf) == args.group_size:
-                _flush(buf)
-                buf.clear()
-        for buf in buffers.values():
-            if buf:
-                _flush(buf)
+        _stream_groups(pred, paths, args.group_size, args.shape_bucket,
+                       args.denoise_rate, write)
         return 0
 
     for p in paths:
         write(p, pred.denoise_file(p, denoise_rate=args.denoise_rate))
+    return 0
+
+
+def _stream_groups(pred, paths, group_size, shape_bucket, denoise_rate,
+                   write) -> None:
+    """Serving-group streaming: images sharing a compiled shape run
+    through scan dispatches (bit-identical to per-image; see
+    TeacherPredictor.denoise_group). Buffers hold at most group_size
+    decoded images per distinct shape — constant memory on arbitrarily
+    large folders."""
+    from .utils.image_io import imread_rgb
+
+    def _key(shape):
+        if shape_bucket:  # same padded program -> same group
+            b = shape_bucket
+            return (-(-shape[0] // b) * b, -(-shape[1] // b) * b)
+        return shape[:2]
+
+    def _flush(items):
+        outs = pred.denoise_group([im for _, im in items],
+                                  denoise_rate=denoise_rate,
+                                  group_size=group_size)
+        for (p, _), out in zip(items, outs):
+            write(p, out)
+
+    buffers: dict[tuple, list] = {}
+    for p in paths:
+        img = imread_rgb(p)
+        buf = buffers.setdefault(_key(img.shape), [])
+        buf.append((p, img))
+        if len(buf) == group_size:
+            _flush(buf)
+            buf.clear()
+    for buf in buffers.values():
+        if buf:
+            _flush(buf)
+
+
+def _cmd_serve(args) -> int:
+    """Watch-folder serving daemon: poll --watch for new images, denoise
+    them in scan groups, write results under --output with the same
+    basenames. Idempotent and restart-safe — an input whose output file
+    already exists is skipped, so a crashed/restarted daemon (or an
+    overlapping batch run) never reprocesses work. ``--once`` drains the
+    current backlog and exits; ``--max-seconds`` bounds the lifetime.
+    (Production analog of the reference's notebook loop.)"""
+    import time
+
+    from .eval.infer import TeacherPredictor
+    from .models import KDLAETeacher
+    from .utils.image_io import imwrite, list_images
+
+    params = _load_params_any(args.weights, "KDLAE_teacher", args.param_key)
+    model = KDLAETeacher(layernorm_type=args.layernorm_type,
+                         static="train" if args.sr else "test", params="cat")
+    pred = TeacherPredictor(params=params, model=model,
+                            shape_bucket=args.shape_bucket)
+    os.makedirs(args.output, exist_ok=True)
+
+    def write(p, out):
+        base = os.path.basename(p)
+        imwrite(os.path.join(args.output, base), out["hq"])
+        if args.sr and "sr" in out:
+            imwrite(os.path.join(args.output, f"sr_{base}"), out["sr"])
+        print(f"{p} -> {os.path.join(args.output, base)}")
+
+    deadline = time.time() + args.max_seconds if args.max_seconds else None
+    processed = 0
+    while True:
+        backlog = [p for p in list_images(args.watch)
+                   if not os.path.exists(
+                       os.path.join(args.output, os.path.basename(p)))]
+        if backlog:
+            _stream_groups(pred, backlog, args.group_size, args.shape_bucket,
+                           args.denoise_rate, write)
+            processed += len(backlog)
+        if args.once:
+            break
+        if deadline is not None and time.time() >= deadline:
+            break
+        time.sleep(args.poll_interval)
+    print(f"served {processed} image(s)")
     return 0
 
 
@@ -262,6 +315,22 @@ def main(argv=None) -> int:
                         "folders share compiled programs (approximate; "
                         "see docs)")
     p.set_defaults(fn=_cmd_infer_teacher)
+
+    p = sub.add_parser("serve", help="watch-folder serving daemon")
+    p.add_argument("--weights", required=True)
+    p.add_argument("--watch", required=True, help="input folder to poll")
+    p.add_argument("--output", required=True)
+    p.add_argument("--denoise-rate", type=float, default=1.0)
+    p.add_argument("--sr", action="store_true")
+    p.add_argument("--layernorm-type", default="BiasFree")
+    p.add_argument("--param-key", default="params")
+    p.add_argument("--group-size", type=int, default=8)
+    p.add_argument("--shape-bucket", type=int, default=None)
+    p.add_argument("--poll-interval", type=float, default=2.0)
+    p.add_argument("--once", action="store_true",
+                   help="drain the current backlog and exit")
+    p.add_argument("--max-seconds", type=float, default=None)
+    p.set_defaults(fn=_cmd_serve)
 
     p = sub.add_parser("infer-student", help="KDLAE-S multi-frame denoise")
     p.add_argument("--weights", required=True)

@@ -130,3 +130,44 @@ def test_infer_teacher_cli_group_mode(tmp_path):
         a = cv2.imread(str(out_g / f"{i}.png"))
         b = cv2.imread(str(out_s / f"{i}.png"))
         np.testing.assert_array_equal(a, b)
+
+
+def test_serve_cli_once_idempotent(tmp_path):
+    """serve --once drains the backlog, skips already-produced outputs on
+    the next invocation (restart-safe), and picks up new files."""
+    import jax
+    import jax.numpy as jnp
+
+    from rethink_acoustic_image_enhancement_tpu.models import flagship_teacher
+    from rethink_acoustic_image_enhancement_tpu.train.checkpoints import (
+        save_weights,
+    )
+
+    model = flagship_teacher(static="test")
+    params = model.init(
+        jax.random.PRNGKey(0),
+        {"img": jnp.zeros((1, 16, 16, 3)),
+         "denoise_rate": jnp.zeros((1, 16, 16, 1))})["params"]
+    w = save_weights(str(tmp_path / "w"), 0, jax.device_get(params))
+
+    watch = tmp_path / "watch"
+    out = tmp_path / "out"
+    os.makedirs(watch)
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        img = (rng.uniform(0, 1, (16, 24, 3)) * 255).astype(np.uint8)
+        imwrite(str(watch / f"{i}.png"), img)
+
+    assert main(["serve", "--weights", w, "--watch", str(watch),
+                 "--output", str(out), "--once", "--group-size", "2"]) == 0
+    assert sorted(os.listdir(out)) == ["0.png", "1.png"]
+
+    # second pass: nothing reprocessed; a new file IS processed
+    before = {f: (out / f).stat().st_mtime_ns for f in os.listdir(out)}
+    img = (rng.uniform(0, 1, (16, 24, 3)) * 255).astype(np.uint8)
+    imwrite(str(watch / "2.png"), img)
+    assert main(["serve", "--weights", w, "--watch", str(watch),
+                 "--output", str(out), "--once", "--group-size", "2"]) == 0
+    assert sorted(os.listdir(out)) == ["0.png", "1.png", "2.png"]
+    for f, ts in before.items():
+        assert (out / f).stat().st_mtime_ns == ts  # untouched
