@@ -21,13 +21,24 @@ import sys
 
 
 def _cmd_train(args) -> int:
+    import jax
+
     from .train.config import make_exp_dirs, parse, validate
     from .train.loop import train_from_config
 
     opt = parse(args.opt, is_train=True)
     validate(opt)
     make_exp_dirs(opt)
-    train_from_config(opt, max_iters=args.max_iters,
+    # multi-chip: auto-build a data-parallel mesh over all local devices
+    # (the reference's torchrun-DDP analog — same CLI, no launcher flag;
+    # batches shard on the data axis, XLA all-reduces grads over ICI)
+    mesh = None
+    if jax.device_count() > 1:
+        from .parallel.mesh import make_mesh
+
+        mesh = make_mesh(n_data=jax.device_count())
+        print(f"data-parallel mesh over {jax.device_count()} devices")
+    train_from_config(opt, mesh=mesh, max_iters=args.max_iters,
                       profile_steps=args.profile_steps)
     return 0
 

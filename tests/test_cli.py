@@ -171,3 +171,29 @@ def test_serve_cli_once_idempotent(tmp_path):
     assert sorted(os.listdir(out)) == ["0.png", "1.png", "2.png"]
     for f, ts in before.items():
         assert (out / f).stat().st_mtime_ns == ts  # untouched
+
+
+def test_train_cli_builds_data_parallel_mesh(tmp_path, capsys):
+    """raie train auto-builds a data mesh over all local devices (the
+    torchrun-DDP analog); runs a 4-iter student smoke on the 8-virtual-
+    device CPU backend."""
+    import yaml
+
+    from test_train_loop import _student_config, _write_frames
+
+    _write_frames(tmp_path / "data")
+    cfg = _student_config(tmp_path)
+    cfg["name"] = "cli_mesh_smoke"
+    path = tmp_path / "opt.yml"
+    path.write_text(yaml.safe_dump(cfg))
+
+    import os as _os
+
+    cwd = _os.getcwd()
+    _os.chdir(tmp_path)  # exp dirs resolve under tmp
+    try:
+        assert main(["train", "-opt", str(path), "--max-iters", "4"]) == 0
+    finally:
+        _os.chdir(cwd)
+    outp = capsys.readouterr().out
+    assert "data-parallel mesh over 8 devices" in outp
