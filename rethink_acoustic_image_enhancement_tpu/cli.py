@@ -29,16 +29,12 @@ def _cmd_train(args) -> int:
     opt = parse(args.opt, is_train=True)
     validate(opt)
     make_exp_dirs(opt)
-    # multi-chip: auto-build a data-parallel mesh over all local devices
-    # (the reference's torchrun-DDP analog — same CLI, no launcher flag;
-    # batches shard on the data axis, XLA all-reduces grads over ICI)
-    mesh = None
+    # multi-chip DP needs no launcher flag (the torchrun-DDP analog):
+    # Trainer auto-builds a data-axis mesh over all local devices when
+    # none is passed (trainer.py) — surface that so the user sees it
     if jax.device_count() > 1:
-        from .parallel.mesh import make_mesh
-
-        mesh = make_mesh(n_data=jax.device_count())
         print(f"data-parallel mesh over {jax.device_count()} devices")
-    train_from_config(opt, mesh=mesh, max_iters=args.max_iters,
+    train_from_config(opt, max_iters=args.max_iters,
                       profile_steps=args.profile_steps)
     return 0
 
@@ -132,13 +128,17 @@ def _cmd_infer_teacher(args) -> int:
 
 
 def _stream_groups(pred, paths, group_size, shape_bucket, denoise_rate,
-                   write) -> None:
+                   write, read=None) -> None:
     """Serving-group streaming: images sharing a compiled shape run
     through scan dispatches (bit-identical to per-image; see
     TeacherPredictor.denoise_group). Buffers hold at most group_size
     decoded images per distinct shape — constant memory on arbitrarily
-    large folders."""
+    large folders. ``read(path) -> image | None`` is injectable; a None
+    skips the file (the serve daemon uses this to survive mid-copy or
+    corrupt inputs)."""
     from .utils.image_io import imread_rgb
+
+    read = read or imread_rgb
 
     def _key(shape):
         if shape_bucket:  # same padded program -> same group
@@ -155,7 +155,9 @@ def _stream_groups(pred, paths, group_size, shape_bucket, denoise_rate,
 
     buffers: dict[tuple, list] = {}
     for p in paths:
-        img = imread_rgb(p)
+        img = read(p)
+        if img is None:
+            continue
         buf = buffers.setdefault(_key(img.shape), [])
         buf.append((p, img))
         if len(buf) == group_size:
@@ -186,30 +188,66 @@ def _cmd_serve(args) -> int:
     pred = TeacherPredictor(params=params, model=model,
                             shape_bucket=args.shape_bucket)
     os.makedirs(args.output, exist_ok=True)
+    sr_dir = os.path.join(args.output, "sr")
+    if args.sr:
+        os.makedirs(sr_dir, exist_ok=True)
+
+    def _atomic_imwrite(path, img):
+        # temp-file + rename so a killed daemon never leaves a truncated
+        # output that the idempotency check would then treat as done
+        # (keep the real extension so the encoder is inferred correctly)
+        stem, ext = os.path.splitext(path)
+        tmp = stem + ".part" + ext
+        imwrite(tmp, img)
+        os.replace(tmp, path)
+
+    served = [0]
 
     def write(p, out):
         base = os.path.basename(p)
-        imwrite(os.path.join(args.output, base), out["hq"])
+        # sr outputs live in their own subdir — a basename like
+        # 'sr_x.png' in the watch folder can't collide with x.png's 2x
+        # output or confuse the done-check
         if args.sr and "sr" in out:
-            imwrite(os.path.join(args.output, f"sr_{base}"), out["sr"])
+            _atomic_imwrite(os.path.join(sr_dir, base), out["sr"])
+        _atomic_imwrite(os.path.join(args.output, base), out["hq"])
+        served[0] += 1
         print(f"{p} -> {os.path.join(args.output, base)}")
 
-    deadline = time.time() + args.max_seconds if args.max_seconds else None
-    processed = 0
+    def safe_read(p):
+        from .utils.image_io import imread_rgb
+
+        try:
+            return imread_rgb(p)
+        except Exception as exc:  # mid-copy / corrupt / vanished input
+            print(f"[serve] skip {p}: {exc}")
+            return None
+
+    def _done(p):
+        base = os.path.basename(p)
+        if not os.path.exists(os.path.join(args.output, base)):
+            return False
+        return not args.sr or os.path.exists(os.path.join(sr_dir, base))
+
+    deadline = (time.time() + args.max_seconds
+                if args.max_seconds is not None else None)
     while True:
-        backlog = [p for p in list_images(args.watch)
-                   if not os.path.exists(
-                       os.path.join(args.output, os.path.basename(p)))]
+        backlog = [p for p in list_images(args.watch) if not _done(p)]
         if backlog:
-            _stream_groups(pred, backlog, args.group_size, args.shape_bucket,
-                           args.denoise_rate, write)
-            processed += len(backlog)
+            try:
+                _stream_groups(pred, backlog, args.group_size,
+                               args.shape_bucket, args.denoise_rate, write,
+                               read=safe_read)
+            except (OSError, ValueError) as exc:
+                # last-resort guard for unattended operation; completed
+                # outputs are durable, the rest retries next poll
+                print(f"[serve] batch failed ({exc}); retrying next poll")
         if args.once:
             break
         if deadline is not None and time.time() >= deadline:
             break
         time.sleep(args.poll_interval)
-    print(f"served {processed} image(s)")
+    print(f"served {served[0]} image(s)")
     return 0
 
 

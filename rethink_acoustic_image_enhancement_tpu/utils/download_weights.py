@@ -47,13 +47,16 @@ def _urllib_fetch(url: str, params: dict):
     cookies = {c.name: c.value for c in jar}
 
     def stream(chunk_size=32768):
-        while True:
-            chunk = resp.read(chunk_size)
-            if not chunk:
-                break
-            yield chunk
+        try:
+            while True:
+                chunk = resp.read(chunk_size)
+                if not chunk:
+                    break
+                yield chunk
+        finally:
+            resp.close()
 
-    return cookies, stream()
+    return cookies, stream(), resp.close
 
 
 def download_from_google_drive(file_id: str, save_path: str,
@@ -61,25 +64,45 @@ def download_from_google_drive(file_id: str, save_path: str,
     """Stream a Google Drive file to disk (reference
     download_util.py:8-37 behavior: initial GET, confirm-token retry for
     large files, chunked write). ``fetch(url, params) -> (cookies,
-    chunk_iter)`` is injectable for tests/custom transports; returns the
-    byte count written."""
+    chunk_iter[, close_fn])`` is injectable for tests/custom transports;
+    returns the byte count written. Raises IOError if the server answers
+    with an HTML page instead of file bytes (Drive interstitials that no
+    longer use the download_warning cookie) — better than silently saving
+    HTML as a .pth."""
     base = "https://docs.google.com/uc?export=download"
     fetch = fetch or _urllib_fetch
     params = {"id": file_id}
-    cookies, stream = fetch(base, params)
+    res = fetch(base, params)
+    cookies, stream = res[0], res[1]
+    close = res[2] if len(res) > 2 else getattr(stream, "close",
+                                                lambda: None)
     token = gdrive_confirm_token(cookies)
     if token:
         params["confirm"] = token
-        _, stream = fetch(base, params)
+        close()  # abandon the interstitial response's socket
+        res = fetch(base, params)
+        stream = res[1]
+    first = next(iter(stream), b"")
+    head = first.lstrip()[:64].lower()
+    if head.startswith((b"<!doctype html", b"<html")):
+        raise IOError(
+            f"Google Drive returned an HTML page for id {file_id!r} "
+            "(interstitial without a confirm cookie); download manually")
     written = 0
     os.makedirs(os.path.dirname(os.path.abspath(save_path)), exist_ok=True)
     with open(save_path, "wb") as f:
-        for chunk in stream:
+        for chunk in _chain_first(first, stream):
             if chunk:  # skip keep-alive chunks
                 f.write(chunk)
                 written += len(chunk)
     log(f"downloaded {written} bytes -> {save_path}")
     return written
+
+
+def _chain_first(first, rest):
+    if first:
+        yield first
+    yield from rest
 
 
 def download(name: str, dest_dir: str) -> str:

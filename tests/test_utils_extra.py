@@ -141,3 +141,21 @@ def test_gdrive_download_confirm_token_flow(tmp_path):
                                       fetch=fake_fetch_small,
                                       log=lambda m: None) == 2
     assert dest2.read_bytes() == b"xy"
+
+
+def test_gdrive_download_rejects_html_interstitial(tmp_path):
+    """Modern Drive interstitials without the cookie must raise, not save
+    an HTML page as the weights file."""
+    import pytest
+
+    from rethink_acoustic_image_enhancement_tpu.utils.download_weights import (
+        download_from_google_drive,
+    )
+
+    def fake_fetch(url, params):
+        return {}, iter([b"<!DOCTYPE html><html>virus scan warning</html>"])
+
+    with pytest.raises(IOError, match="HTML page"):
+        download_from_google_drive("FID", str(tmp_path / "w.pth"),
+                                   fetch=fake_fetch, log=lambda m: None)
+    assert not (tmp_path / "w.pth").exists()
