@@ -5,9 +5,11 @@ Train/basicsr/test.py, ASDQE/ASDQE_test.py __main__, the two inference
 notebooks, utils/download_weights.py) with one CLI:
 
   raie train -opt cfg.yml            config-driven training (auto-resume)
+  raie train-asdqe ...               ASDQE quality-scorer training
   raie test  -opt cfg.yml            config-driven offline eval
   raie infer-teacher ...             KDLAE-T whole-image denoise
   raie infer-student ...             KDLAE-S multi-frame denoise
+  raie serve ...                     watch-folder serving daemon
   raie score ...                     ASDQE method-vs-origin protocol (CSV)
   raie convert ...                   reference .pth -> orbax checkpoint
 """
@@ -15,7 +17,6 @@ notebooks, utils/download_weights.py) with one CLI:
 from __future__ import annotations
 
 import argparse
-import json
 import os
 import sys
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import csv
 import os
-from typing import Mapping, Sequence
+from typing import Mapping
 
 import numpy as np
 

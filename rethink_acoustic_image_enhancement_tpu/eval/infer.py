@@ -25,7 +25,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models import DenoiseRatePredictor, KDLAEStudent, KDLAETeacher
-from ..ops.layout import pad_to_multiple
 from ..ops.mask import apply_zero_mask, zero_mask_from_input
 from ..utils.image_io import imread_gray, imread_rgb, list_images, resize_area, to_ubyte
 

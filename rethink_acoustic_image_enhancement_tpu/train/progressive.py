@@ -20,7 +20,7 @@ a known CPU bottleneck (SURVEY.md §3.1); here masking runs on-device.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Sequence
 
 import jax

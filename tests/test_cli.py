@@ -4,7 +4,6 @@ import json
 import os
 
 import numpy as np
-import pytest
 
 from rethink_acoustic_image_enhancement_tpu.cli import main
 from rethink_acoustic_image_enhancement_tpu.utils.image_io import imwrite

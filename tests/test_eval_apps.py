@@ -9,21 +9,17 @@ numbers-parity check against the reference's own scoring pipeline.
 import os
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp
 
 from rethink_acoustic_image_enhancement_tpu.convert.torch_import import (
     convert_asdqe,
-    convert_student,
-    convert_teacher,
 )
 from rethink_acoustic_image_enhancement_tpu.eval.asdqe_eval import (
     calculate_statistics,
     default_methods,
     paired_files,
-    run_asdqe_eval,
     write_stats_csv,
 )
 from rethink_acoustic_image_enhancement_tpu.eval.infer import (

@@ -3,7 +3,6 @@
 import os
 
 import numpy as np
-import pytest
 
 from rethink_acoustic_image_enhancement_tpu.data.datasets import create_dataset
 from rethink_acoustic_image_enhancement_tpu.data.video_datasets import (
