@@ -53,9 +53,12 @@ def _cmd_train_asdqe(args) -> int:
         accumulation_steps=args.accum, gt_size=args.gt_size,
         seed=args.seed, out_dir=args.out,
         max_steps_per_epoch=args.max_steps_per_epoch)
-    if result["history"]:
-        best = min(h["val_mse"] for h in result["history"])
-        print(f"best val MSE: {best:.6f}")
+    import math
+
+    finite = [h["val_mse"] for h in result["history"]
+              if not math.isnan(h["val_mse"])]
+    if finite:  # an epoch with no val batches reports NaN — don't surface it
+        print(f"best val MSE: {min(finite):.6f}")
     return 0
 
 
@@ -230,18 +233,33 @@ def _cmd_serve(args) -> int:
             return False
         return not args.sr or os.path.exists(os.path.join(sr_dir, base))
 
+    def _stable(p):
+        # skip files still being copied in: only pick up inputs untouched
+        # for at least one poll interval (a truncated-but-decodable image
+        # would otherwise be served once and then never repaired, because
+        # the idempotent done-check skips it forever). --once drains a
+        # static backlog, so no grace period there.
+        if args.once:
+            return True
+        try:
+            return time.time() - os.path.getmtime(p) >= args.poll_interval
+        except OSError:  # vanished between listing and stat
+            return False
+
     deadline = (time.time() + args.max_seconds
                 if args.max_seconds is not None else None)
     while True:
-        backlog = [p for p in list_images(args.watch) if not _done(p)]
+        backlog = [p for p in list_images(args.watch)
+                   if not _done(p) and _stable(p)]
         if backlog:
             try:
                 _stream_groups(pred, backlog, args.group_size,
                                args.shape_bucket, args.denoise_rate, write,
                                read=safe_read)
-            except (OSError, ValueError) as exc:
-                # last-resort guard for unattended operation; completed
-                # outputs are durable, the rest retries next poll
+            except Exception as exc:
+                # last-resort guard for unattended operation — a transient
+                # XLA/tunnel runtime error must not kill the daemon;
+                # completed outputs are durable, the rest retries next poll
                 print(f"[serve] batch failed ({exc}); retrying next poll")
         if args.once:
             break

@@ -86,6 +86,13 @@ class TeacherPredictor:
     mesh: Any = None
 
     def __post_init__(self):
+        if self.shape_bucket and self.shape_bucket % self.multiple_of:
+            # a bucket that isn't a multiple of the model's pad unit would
+            # replace it in padding and feed the pixel-unshuffle stages a
+            # size they reject with an opaque reshape error deep in jit
+            raise ValueError(
+                f"shape_bucket={self.shape_bucket} must be a multiple of "
+                f"multiple_of={self.multiple_of}")
         self._apply = functools.partial(jax.jit(self._forward))
         self._placed_params = None
         if self.mesh is not None:

@@ -7,11 +7,13 @@ Gaussian window, per-96px-block AGGD fits of the coefficient and the four
 adjacent-product maps at two scales, then the Mahalanobis-style distance
 between the fitted MVG and a pristine-corpus MVG.
 
-The pristine-model parameters (mu/cov) are fitted data, not code: they load
-from ``RAIE_NIQE_PRIS`` (an .npz with mu_pris_param / cov_pris_param), or
-from the reference's shipped file when mounted. Without either, the metric
-raises with a clear message. The 7x7 window is computed here
-(fspecial('gaussian', 7, 7/6)).
+The pristine-model parameters (mu/cov) are fitted data, not code; a copy
+of the published table (same numbers the reference ships as
+Train/basicsr/metrics/niqe_pris_params.npz — originally from the NIQE
+authors' pristine corpus fit) lives in ``metrics/data/`` so the metric is
+self-contained. ``RAIE_NIQE_PRIS`` or ``pris_path`` overrides it with any
+.npz holding mu_pris_param / cov_pris_param. The 7x7 window is computed
+here (fspecial('gaussian', 7, 7/6)).
 """
 
 from __future__ import annotations
@@ -23,7 +25,8 @@ import numpy as np
 from scipy.ndimage import convolve
 from scipy.special import gamma as gamma_fn
 
-_REFERENCE_PRIS = "/root/reference/Train/basicsr/metrics/niqe_pris_params.npz"
+_BUNDLED_PRIS = os.path.join(os.path.dirname(__file__), "data",
+                             "niqe_pris_params.npz")
 
 # gamma-ratio lookup for GGD/AGGD shape estimation (Eq. 7)
 _GAM = np.arange(0.2, 10.001, 0.001)
@@ -40,12 +43,11 @@ def gaussian_window_7x7() -> np.ndarray:
 
 
 def load_pris_params(path: str | None = None):
-    path = path or os.environ.get("RAIE_NIQE_PRIS") or _REFERENCE_PRIS
+    path = path or os.environ.get("RAIE_NIQE_PRIS") or _BUNDLED_PRIS
     if not os.path.exists(path):
         raise FileNotFoundError(
-            "NIQE pristine-model parameters not found; set RAIE_NIQE_PRIS "
-            "to an .npz with mu_pris_param/cov_pris_param (e.g. the "
-            "reference's niqe_pris_params.npz)")
+            f"NIQE pristine-model parameters not found at {path}; set "
+            "RAIE_NIQE_PRIS to an .npz with mu_pris_param/cov_pris_param")
     data = np.load(path)
     return np.ravel(data["mu_pris_param"]), data["cov_pris_param"]
 

@@ -123,6 +123,34 @@ def find_latest_checkpoint(root: str) -> int | None:
     return best
 
 
+def prune_checkpoints(states_dir: str | None, models_dir: str | None,
+                      keep: int) -> list[str]:
+    """Checkpoint rotation: keep only the ``keep`` highest-numbered
+    ``ckpt_{iter}`` states and ``net_g_{iter}`` weight dirs, delete the
+    rest. Non-numeric names (net_g_best, net_g_latest) are never touched.
+    The reference keeps every checkpoint (base_model.py:213-244); rotation
+    is opt-in via ``logger.keep_checkpoints: N`` (0/absent = keep all)."""
+    import shutil
+
+    removed: list[str] = []
+    if keep <= 0:
+        return removed
+    for root, pat in ((states_dir, r"ckpt_(\d+)"),
+                      (models_dir, r"net_g_(\d+)")):
+        if not root or not osp.isdir(root):
+            continue
+        steps = []
+        for name in os.listdir(root):
+            m = re.fullmatch(pat, name)
+            if m:
+                steps.append((int(m.group(1)), name))
+        for _, name in sorted(steps)[:-keep]:
+            path = osp.join(root, name)
+            shutil.rmtree(path, ignore_errors=True)
+            removed.append(path)
+    return removed
+
+
 def merge_params_nonstrict(target, source, verbose: bool = True):
     """Non-strict merge: copy leaves that exist in both trees with matching
     shapes; skip (and report) the rest — the reference's strict_load_g:

@@ -32,6 +32,7 @@ from .checkpoints import (
     find_latest_checkpoint,
     load_reference_pth,
     load_weights,
+    prune_checkpoints,
     restore_checkpoint,
     save_checkpoint,
     save_weights,
@@ -80,6 +81,18 @@ def build_everything(opt: dict, mesh=None):
                               train_opt.get("warmup_iter", -1))
     loss_fn = build_loss(train_opt["pixel_opt"])
     mix = train_opt.get("mixing_augs", {})
+    # mixed-precision training: bf16 activations, fp32 params/optimizer
+    # (SURVEY §2.11 AMP row; the reference only autocasts the ASDQE
+    # trainer, Train/ASDQE.py:104-121 — here the main loop gets it too)
+    dtype_key = str(train_opt.get("compute_dtype", "float32")).lower()
+    try:
+        compute_dtype = {"float32": None, "fp32": None,
+                         "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+                         "float16": jnp.float16, "fp16": jnp.float16,
+                         }[dtype_key]
+    except KeyError:
+        raise KeyError(f"train.compute_dtype {dtype_key!r} not one of "
+                       "float32/bfloat16/float16") from None
     trainer = Trainer(
         apply_fn=lambda p, lq: model.apply({"params": p}, lq),
         loss_fn=loss_fn,
@@ -93,6 +106,7 @@ def build_everything(opt: dict, mesh=None):
         scale=opt.get("scale", 1),
         gt_size=ds_opt.get("gt_size", 0),
         loss_takes_rng=train_opt["pixel_opt"].get("reduction") == "mix",
+        compute_dtype=compute_dtype,
     )
     return model, params, trainer, schedule
 
@@ -120,6 +134,9 @@ def validate_model(model, params, val_loader, opt,
         return jax.tree.map(lambda x: jnp.clip(x, 0.0, 1.0), out)
 
     sums = {name: 0.0 for name in metric_cfgs}
+    # separate denominator for the *_sr metrics: only items that carry a
+    # gt['sr'] contribute, so a mixed val set must not deflate psnr_sr
+    sr_count = 0
     count = 0
     for batch in val_loader:
         lq, gt = batch["lq"], batch["gt"]
@@ -169,6 +186,7 @@ def validate_model(model, params, val_loader, opt,
                         out_img / 255.0 if use_image else out_img)
             ps_img = ts_img = None
             if pred_sr is not None:
+                sr_count += 1
                 ps_img, ts_img = pred_sr[b], target_sr[b]
                 if use_image:
                     from ..utils.image_io import to_ubyte
@@ -191,7 +209,8 @@ def validate_model(model, params, val_loader, opt,
             count += 1
         if max_items is not None and count >= max_items:
             break
-    return {k: v / max(count, 1) for k, v in sums.items()}
+    return {k: v / max(sr_count if k.endswith("_sr") else count, 1)
+            for k, v in sums.items()}
 
 
 def train_from_config(opt: dict, mesh=None, max_iters: int | None = None,
@@ -370,6 +389,12 @@ def train_from_config(opt: dict, mesh=None, max_iters: int | None = None,
                     save_weights(opt["path"]["models"], current_iter,
                                  state.params, state.ema_params)
                     log(f"saved checkpoint @ {current_iter}")
+                    keep = int(logger_cfg.get("keep_checkpoints", 0) or 0)
+                    if keep:
+                        gone = prune_checkpoints(
+                            states_dir, opt["path"]["models"], keep)
+                        if gone:
+                            log(f"rotated {len(gone)} old checkpoints")
             if val_freq and val_loader and current_iter % val_freq == 0:
                 # the reference validates with the EMA net when present
                 # (image_restoration_model.py:242-245)

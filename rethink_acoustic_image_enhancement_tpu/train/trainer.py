@@ -164,13 +164,18 @@ class Trainer:
             gt, lq = mixing_augment(r_mix, gt, lq, self.mixup_beta,
                                     self.mixup_identity)
 
+        cast = lambda t: jax.tree.map(
+            lambda x: x.astype(self.compute_dtype)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
         if self.compute_dtype is not None:
-            cast = lambda t: jax.tree.map(
-                lambda x: x.astype(self.compute_dtype)
-                if jnp.issubdtype(x.dtype, jnp.floating) else x, t)
             lq = cast(lq)
 
         def compute_loss(params):
+            # mixed precision: fp32 master params, bf16 compute copies.
+            # The cast's vjp casts the grads back to fp32, so the optimizer
+            # state and update stay full-precision (SURVEY §2.11 plan).
+            if self.compute_dtype is not None:
+                params = cast(params)
             pred = self.apply_fn(params, lq)
             if self.compute_dtype is not None:
                 pred = jax.tree.map(

@@ -43,7 +43,9 @@ def _urllib_fetch(url: str, params: dict):
     opener = urllib.request.build_opener(
         urllib.request.HTTPCookieProcessor(jar))
     sep = "&" if "?" in url else "?"
-    resp = opener.open(url + sep + urllib.parse.urlencode(params))
+    # a stalled connection must fail (IOError path), not hang forever
+    resp = opener.open(url + sep + urllib.parse.urlencode(params),
+                       timeout=30)
     cookies = {c.name: c.value for c in jar}
 
     def stream(chunk_size=32768):

@@ -103,3 +103,19 @@ def test_bucketed_vs_exact_deviation_quantified():
     b = bucket64(img, zero_mask=False)["hq"].astype(np.float32)
     dev = float(psnr(a, b, crop_border=0))
     assert 6.0 < dev < 45.0, dev  # material, not catastrophic
+
+
+def test_invalid_shape_bucket_rejected():
+    """A bucket that is not a multiple of the model's pad unit must fail
+    fast with a clear message, not an opaque reshape error inside jit
+    (ADVICE r2)."""
+    import pytest
+
+    from rethink_acoustic_image_enhancement_tpu.eval.infer import (
+        TeacherPredictor,
+    )
+    from rethink_acoustic_image_enhancement_tpu.models import KDLAETeacher
+
+    model = KDLAETeacher(static="test", params="cat")
+    with pytest.raises(ValueError, match="multiple"):
+        TeacherPredictor(params={}, model=model, shape_bucket=12)
