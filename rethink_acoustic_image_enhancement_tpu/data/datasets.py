@@ -28,6 +28,7 @@ from .pairing import (
     paired_multipaths_from_folder,
     paired_paths_from_folder,
     paired_paths_from_folder_param,
+    paired_paths_from_lmdb,
     paired_paths_from_meta_info_file,
 )
 from .transforms import (
@@ -39,6 +40,31 @@ from .transforms import (
     random_augmentation,
     sync_augment_multi_scale,
 )
+
+
+def _imread_16bit(path: str) -> np.ndarray:
+    """16-bit-aware read -> float32 [0,1] BGR HWC (img_util.imfrombytesDP:
+    cv2.IMREAD_UNCHANGED then /65535)."""
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    if img is None:
+        raise IOError(f"failed to read image: {path}")
+    if img.dtype == np.uint16:
+        return img.astype(np.float32) / 65535.0
+    return img.astype(np.float32) / 255.0
+
+
+def _imfrombytes_16bit(buf: bytes) -> np.ndarray:
+    """Bytes variant of ``_imread_16bit`` (img_util.imfrombytesDP)."""
+    import cv2
+
+    img = cv2.imdecode(np.frombuffer(buf, np.uint8), cv2.IMREAD_UNCHANGED)
+    if img is None:
+        raise IOError("failed to decode image bytes")
+    if img.dtype == np.uint16:
+        return img.astype(np.float32) / 65535.0
+    return img.astype(np.float32) / 255.0
 
 
 def _reflect101_pad_to(img: np.ndarray, target: int) -> np.ndarray:
@@ -64,29 +90,81 @@ class _SeededDataset:
     0.28 s compute at stage 3. Opt-in because it holds the whole decoded
     corpus in host memory."""
 
-    def __init__(self, seed: int = 0, cache_decoded: bool = False):
+    def __init__(self, seed: int = 0, cache_decoded: bool = False,
+                 io_opt: dict | None = None):
         self._seed = seed
         self._epoch = 0
-        self._decode_cache: dict[str, np.ndarray] | None = (
+        self._decode_cache: dict[tuple, np.ndarray] | None = (
             {} if cache_decoded else None)
+        # every read flows through a FileClient (the reference reads all
+        # image bytes through one, paired_image_dataset.py:161-186), so
+        # io_backend: {type: lmdb, ...} is honored end-to-end
+        self._io_opt = dict(io_opt or {"type": "disk"})
+        self._io_type = self._io_opt.get("type", "disk")
+        self._file_client = None  # built lazily (worker-safe, like the ref)
 
     def set_epoch(self, epoch: int) -> None:
         self._epoch = epoch
 
-    def _read(self, path: str, reader) -> np.ndarray:
-        """reader(path) with the optional cache; returns a private copy
-        (downstream corruption/aug must not alias cached memory)."""
+    def _client(self):
+        if self._file_client is None:
+            from .file_client import FileClient
+
+            kwargs = {k: v for k, v in self._io_opt.items() if k != "type"}
+            self._file_client = FileClient(self._io_type, **kwargs)
+        return self._file_client
+
+    def _read(self, path: str, reader, key: str = "default") -> np.ndarray:
+        """Read+decode an image with the optional cache; returns a private
+        copy (downstream corruption/aug must not alias cached memory).
+        ``path`` is a filesystem path for the disk backend and the record
+        key for lmdb/memcached; ``key`` selects the modality's client."""
         if self._decode_cache is None:
-            return reader(path)
-        img = self._decode_cache.get(path)
+            return self._decode(path, reader, key)
+        cache_key = (key, path)
+        img = self._decode_cache.get(cache_key)
         if img is None:
-            img = reader(path)
-            self._decode_cache[path] = img
+            img = self._decode(path, reader, key)
+            self._decode_cache[cache_key] = img
         return img.copy()
+
+    def _decode(self, path: str, reader, key: str) -> np.ndarray:
+        from ..utils.image_io import (
+            _HAS_CV2,
+            imfrombytes_bgr,
+            imfrombytes_gray,
+        )
+
+        decoders = {imread_bgr: imfrombytes_bgr,
+                    imread_gray: imfrombytes_gray,
+                    _imread_16bit: _imfrombytes_16bit}
+        decode = decoders.get(reader)
+        if (self._io_type == "disk" and not _HAS_CV2) or decode is None:
+            if self._io_type != "disk":  # pragma: no cover
+                raise TypeError(f"no bytes decoder for reader {reader}")
+            return reader(path)  # PIL fallback needs a real path
+        buf = self._client().get(path, key)
+        if buf is None:
+            raise IOError(f"{self._io_type} backend has no entry for "
+                          f"{path!r} (client {key!r})")
+        return decode(buf)
 
     def _rng(self, index: int) -> np.random.Generator:
         return np.random.default_rng(
             np.random.SeedSequence([self._seed, self._epoch, index]))
+
+
+def _io_opt_no_lmdb(opt: dict, name: str) -> dict:
+    """io_backend for datasets without an lmdb layout (the reference's
+    specialized datasets raise for lmdb too, e.g.
+    paired_image_dataset.py:451-453)."""
+    io_opt = dict(opt.get("io_backend") or {"type": "disk"})
+    if io_opt.get("type") == "lmdb":
+        raise NotImplementedError(
+            f"{name} does not support the lmdb backend (multi-modality "
+            "folder pairing; matches the reference behavior) — use "
+            "Dataset_PairedImage for lmdb corpora")
+    return io_opt
 
 
 class PairedImageDataset(_SeededDataset):
@@ -96,14 +174,22 @@ class PairedImageDataset(_SeededDataset):
     img2tensor(bgr2rgb=True)."""
 
     def __init__(self, opt: dict):
+        io_opt = dict(opt.get("io_backend") or {"type": "disk"})
+        folders = [opt["dataroot_lq"], opt["dataroot_gt"]]
+        if io_opt.get("type") == "lmdb":
+            # paths are shared lmdb keys; one client per modality
+            # (paired_image_dataset.py:343-346)
+            io_opt.setdefault("db_paths", folders)
+            io_opt.setdefault("client_keys", ["lq", "gt"])
         super().__init__(opt.get("seed", 0),
-                         opt.get("cache_decoded", False))
+                         opt.get("cache_decoded", False), io_opt)
         self.opt = opt
         self.phase = opt.get("phase", "train")
         self.scale = opt.get("scale", 1)
-        folders = [opt["dataroot_lq"], opt["dataroot_gt"]]
         tmpl = opt.get("filename_tmpl", "{}")
-        if opt.get("meta_info_file"):
+        if io_opt.get("type") == "lmdb":
+            self.paths = paired_paths_from_lmdb(folders, ["lq", "gt"])
+        elif opt.get("meta_info_file"):
             self.paths = paired_paths_from_meta_info_file(
                 folders, ["lq", "gt"], opt["meta_info_file"], tmpl)
         else:
@@ -116,8 +202,8 @@ class PairedImageDataset(_SeededDataset):
     def __getitem__(self, index: int) -> dict[str, Any]:
         rng = self._rng(index)
         p = self.paths[index % len(self.paths)]
-        img_gt = self._read(p["gt_path"], imread_bgr)
-        img_lq = self._read(p["lq_path"], imread_bgr)
+        img_gt = self._read(p["gt_path"], imread_bgr, "gt")
+        img_lq = self._read(p["lq_path"], imread_bgr, "lq")
 
         if self.phase == "train":
             gt_size = self.opt["gt_size"]
@@ -149,7 +235,8 @@ class SuperRestorationParamDataset(_SeededDataset):
 
     def __init__(self, opt: dict):
         super().__init__(opt.get("seed", 0),
-                         opt.get("cache_decoded", False))
+                         opt.get("cache_decoded", False),
+                         _io_opt_no_lmdb(opt, type(self).__name__))
         self.opt = opt
         self.phase = opt.get("phase", "train")
         self.scale = opt.get("scale", 1)
@@ -165,15 +252,15 @@ class SuperRestorationParamDataset(_SeededDataset):
     def __len__(self) -> int:
         return len(self.paths)
 
-    def _read_img(self, path: str) -> np.ndarray:
-        return self._read(path, imread_bgr)
+    def _read_img(self, path: str, key: str = "default") -> np.ndarray:
+        return self._read(path, imread_bgr, key)
 
     def __getitem__(self, index: int) -> dict[str, Any]:
         rng = self._rng(index)
         p = self.paths[index % len(self.paths)]
-        img_gt = self._read_img(p["gt_path"])
-        img_lq = self._read_img(p["lq_path"])
-        img_sr = self._read_img(p["sr_path"])
+        img_gt = self._read_img(p["gt_path"], "gt")
+        img_lq = self._read_img(p["lq_path"], "lq")
+        img_sr = self._read_img(p["sr_path"], "sr")
         with open(p["param_path"]) as f:
             param = json.load(f)
         if self.use_denoise_rate:
@@ -231,7 +318,8 @@ class SuperRestorationDataset(SuperRestorationParamDataset):
         opt = dict(opt)
         opt["denoise_rate"] = False
         _SeededDataset.__init__(self, opt.get("seed", 0),
-                                opt.get("cache_decoded", False))
+                                opt.get("cache_decoded", False),
+                                _io_opt_no_lmdb(opt, type(self).__name__))
         self.opt = opt
         self.phase = opt.get("phase", "train")
         self.scale = opt.get("scale", 1)
@@ -246,9 +334,9 @@ class SuperRestorationDataset(SuperRestorationParamDataset):
     def __getitem__(self, index: int):
         p = self.paths[index % len(self.paths)]
         rng = self._rng(index)
-        img_gt = self._read_img(p["gt_path"])
-        img_lq = self._read_img(p["lq_path"])
-        img_sr = self._read_img(p["sr_path"])
+        img_gt = self._read_img(p["gt_path"], "gt")
+        img_lq = self._read_img(p["lq_path"], "lq")
+        img_sr = self._read_img(p["sr_path"], "sr")
         denoise_rate = 1.0
 
         if self.phase == "train":
@@ -292,7 +380,8 @@ class PairedMultiImageDataset(_SeededDataset):
 
     def __init__(self, opt: dict):
         super().__init__(opt.get("seed", 0),
-                         opt.get("cache_decoded", False))
+                         opt.get("cache_decoded", False),
+                         _io_opt_no_lmdb(opt, type(self).__name__))
         self.opt = opt
         self.phase = opt.get("phase", "train")
         self.scale = opt.get("scale", 1)
@@ -342,8 +431,10 @@ class PairedMultiImageDataset(_SeededDataset):
     def __getitem__(self, index: int) -> dict[str, Any]:
         rng = self._rng(index)
         group = self.paths[index % len(self.paths)]
-        gt_frames = [self._read(g["gt_path"], imread_gray) for g in group]
-        lq_frames = [self._read(g["lq_path"], imread_gray) for g in group]
+        gt_frames = [self._read(g["gt_path"], imread_gray, "gt")
+                     for g in group]
+        lq_frames = [self._read(g["lq_path"], imread_gray, "lq")
+                     for g in group]
         th = max(img.shape[0] for img in gt_frames)
         tw = max(img.shape[1] for img in gt_frames)
         gt = np.stack([pad_image_center(x, th, tw) for x in gt_frames], axis=-1)
@@ -389,7 +480,8 @@ class SIQADataset(_SeededDataset):
 
     def __init__(self, opt: dict):
         super().__init__(opt.get("seed", 0),
-                         opt.get("cache_decoded", False))
+                         opt.get("cache_decoded", False),
+                         _io_opt_no_lmdb(opt, type(self).__name__))
         self.opt = opt
         self.phase = opt.get("phase", "train")
         self.gt_size = opt.get("gt_size", None)
@@ -404,8 +496,8 @@ class SIQADataset(_SeededDataset):
     def __getitem__(self, index: int) -> dict[str, Any]:
         rng = self._rng(index)
         p = self.paths[index % len(self.paths)]
-        img_gt = self._read(p["gt_path"], imread_bgr)
-        img_lq = self._read(p["lq_path"], imread_bgr)
+        img_gt = self._read(p["gt_path"], imread_bgr, "gt")
+        img_lq = self._read(p["lq_path"], imread_bgr, "lq")
         with open(p["param_path"]) as f:
             score = float(json.load(f)["score"])
 
@@ -438,8 +530,15 @@ class GaussianDenoisingDataset(_SeededDataset):
     deterministic per-index RNG with a fixed eval seed)."""
 
     def __init__(self, opt: dict):
+        io_opt = dict(opt.get("io_backend") or {"type": "disk"})
+        root = opt["dataroot_gt"]
+        if io_opt.get("type") == "lmdb":
+            # single-shard lmdb on the clean images (reference
+            # paired_image_dataset.py:1263-1270 pattern)
+            io_opt.setdefault("db_paths", [root])
+            io_opt.setdefault("client_keys", ["gt"])
         super().__init__(opt.get("seed", 0),
-                         opt.get("cache_decoded", False))
+                         opt.get("cache_decoded", False), io_opt)
         self.opt = opt
         self.phase = opt.get("phase", "train")
         self.scale = opt.get("scale", 1)
@@ -451,10 +550,12 @@ class GaussianDenoisingDataset(_SeededDataset):
             assert self.sigma_type in ("constant", "random", "choice")
         else:
             self.sigma_test = opt["sigma_test"]
+        from .lmdb_util import paths_from_lmdb
         from .pairing import scan_files
 
-        root = opt["dataroot_gt"]
-        if opt.get("meta_info_file"):
+        if io_opt.get("type") == "lmdb":
+            self.paths = paths_from_lmdb(root)
+        elif opt.get("meta_info_file"):
             with open(opt["meta_info_file"]) as f:
                 self.paths = [osp.join(root, line.split(" ")[0].strip())
                               for line in f if line.strip()]
@@ -469,9 +570,9 @@ class GaussianDenoisingDataset(_SeededDataset):
         path = self.paths[index % len(self.paths)]
         if self.in_ch == 3:
             img_gt = np.ascontiguousarray(
-                self._read(path, imread_bgr)[..., ::-1])  # RGB
+                self._read(path, imread_bgr, "gt")[..., ::-1])  # RGB
         else:
-            img_gt = self._read(path, imread_gray)[..., None]
+            img_gt = self._read(path, imread_gray, "gt")[..., None]
         img_lq = img_gt.copy()
 
         if self.phase == "train":
@@ -503,13 +604,20 @@ class SingleImageDataset(_SeededDataset):
     folder (or meta-info list), returns {'lq', 'lq_path'}."""
 
     def __init__(self, opt: dict):
+        io_opt = dict(opt.get("io_backend") or {"type": "disk"})
+        root = opt["dataroot_lq"]
+        if io_opt.get("type") == "lmdb":
+            io_opt.setdefault("db_paths", [root])
+            io_opt.setdefault("client_keys", ["lq"])
         super().__init__(opt.get("seed", 0),
-                         opt.get("cache_decoded", False))
+                         opt.get("cache_decoded", False), io_opt)
         self.opt = opt
+        from .lmdb_util import paths_from_lmdb
         from .pairing import scan_files
 
-        root = opt["dataroot_lq"]
-        if opt.get("meta_info_file"):
+        if io_opt.get("type") == "lmdb":
+            self.paths = paths_from_lmdb(root)
+        elif opt.get("meta_info_file"):
             with open(opt["meta_info_file"]) as f:
                 self.paths = [osp.join(root, line.split(" ")[0].strip())
                               for line in f if line.strip()]
@@ -521,21 +629,9 @@ class SingleImageDataset(_SeededDataset):
 
     def __getitem__(self, index: int) -> dict[str, Any]:
         path = self.paths[index % len(self.paths)]
-        img = np.ascontiguousarray(self._read(path, imread_bgr)[..., ::-1])
+        img = np.ascontiguousarray(
+            self._read(path, imread_bgr, "lq")[..., ::-1])
         return {"lq": img.astype(np.float32), "lq_path": path}
-
-
-def _imread_16bit(path: str) -> np.ndarray:
-    """16-bit-aware read -> float32 [0,1] BGR HWC (img_util.imfrombytesDP:
-    cv2.IMREAD_UNCHANGED then /65535)."""
-    import cv2
-
-    img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
-    if img is None:
-        raise IOError(f"failed to read image: {path}")
-    if img.dtype == np.uint16:
-        return img.astype(np.float32) / 65535.0
-    return img.astype(np.float32) / 255.0
 
 
 class DefocusDeblurDualPixel16Dataset(_SeededDataset):
@@ -546,7 +642,8 @@ class DefocusDeblurDualPixel16Dataset(_SeededDataset):
 
     def __init__(self, opt: dict):
         super().__init__(opt.get("seed", 0),
-                         opt.get("cache_decoded", False))
+                         opt.get("cache_decoded", False),
+                         _io_opt_no_lmdb(opt, type(self).__name__))
         self.opt = opt
         self.phase = opt.get("phase", "train")
         self.scale = opt.get("scale", 1)
@@ -561,9 +658,9 @@ class DefocusDeblurDualPixel16Dataset(_SeededDataset):
     def __getitem__(self, index: int) -> dict[str, Any]:
         rng = self._rng(index)
         p = self.paths[index % len(self.paths)]
-        img_gt = self._read(p["gt_path"], _imread_16bit)
-        img_lql = self._read(p["lqL_path"], _imread_16bit)
-        img_lqr = self._read(p["lqR_path"], _imread_16bit)
+        img_gt = self._read(p["gt_path"], _imread_16bit, "gt")
+        img_lql = self._read(p["lqL_path"], _imread_16bit, "lqL")
+        img_lqr = self._read(p["lqR_path"], _imread_16bit, "lqR")
 
         if self.phase == "train":
             gt_size = self.opt["gt_size"]
@@ -610,6 +707,45 @@ DATASETS = {
     "Dataset_DefocusDeblur_DualPixel_16bit": DefocusDeblurDualPixel16Dataset,
 }
 DATASETS.update(_video_datasets())
+
+# Every dataset option key any registered dataset or the loader layer
+# consumes. Config validation rejects keys outside this set, so a
+# misspelled or dead key fails fast instead of being silently ignored
+# (the string-typed-config trap SURVEY §5.6 calls out; io_backend was
+# exactly such a dead key in round 2).
+KNOWN_DATASET_KEYS = frozenset({
+    # identity / injected by config parsing
+    "type", "name", "phase", "scale",
+    # storage + decode
+    "io_backend", "cache_decoded", "filename_tmpl", "meta_info_file",
+    "dataroot_lq", "dataroot_gt", "dataroot_sr", "dataroot_param",
+    "dataroot_lqL", "dataroot_lqR", "dataroot_flow",
+    # sampling / loader (data/__init__.py:56-119 analog)
+    "use_shuffle", "num_worker_per_gpu", "batch_size_per_gpu",
+    "dataset_enlarge_ratio", "drop_last", "pin_memory", "prefetch_mode",
+    "seed",
+    # crops / aug
+    "gt_size", "geometric_augs", "mean", "std", "use_hflip", "use_rot",
+    # progressive curriculum (train.py:246-252)
+    "mini_batch_sizes", "iters", "gt_sizes", "prob", "probs",
+    # teacher / student specifics
+    "denoise_rate", "num_pairs", "stride_range",
+    # gaussian-denoising specifics
+    "in_ch", "sigma_type", "sigma_range", "sigma_test",
+    # video datasets
+    "num_frame", "interval_list", "random_reverse", "center_frame_idx",
+    "frames_per_clip", "padding", "cache_data", "val_partition",
+})
+
+
+def validate_dataset_opt(opt: dict, where: str = "datasets") -> None:
+    """Fail fast on unknown/ignored dataset keys."""
+    unknown = set(opt) - KNOWN_DATASET_KEYS
+    if unknown:
+        raise KeyError(
+            f"{where}: unknown dataset option key(s) {sorted(unknown)} — "
+            "these would be silently ignored; remove or fix them "
+            f"(known keys: {sorted(KNOWN_DATASET_KEYS)})")
 
 
 def create_dataset(opt: dict):

@@ -20,30 +20,39 @@ class DiskBackend:
 
 class LmdbBackend:
     """One LMDB env per key; filepath is the key inside the db
-    (file_client.py:74-147)."""
+    (file_client.py:74-147). Uses the ``lmdb`` package when importable;
+    otherwise reads the same on-disk format through the bundled
+    dependency-free codec (data/lmdb_codec.py), so LMDB corpora work in
+    this offline TPU image too."""
 
     def __init__(self, db_paths, client_keys="default", readonly=True,
                  lock=False, readahead=False):
-        try:
-            import lmdb
-        except ImportError as e:  # pragma: no cover
-            raise ImportError(
-                "lmdb backend requested but the lmdb package is not "
-                "installed") from e
         if isinstance(client_keys, str):
             client_keys = [client_keys]
         if isinstance(db_paths, (str, bytes)):
             db_paths = [db_paths]
         assert len(client_keys) == len(db_paths)
         self._client = {}
-        for key, path in zip(client_keys, db_paths):
-            self._client[key] = lmdb.open(str(path), readonly=readonly,
-                                          lock=lock, readahead=readahead)
+        try:
+            import lmdb
+
+            self._native = True
+            for key, path in zip(client_keys, db_paths):
+                self._client[key] = lmdb.open(str(path), readonly=readonly,
+                                              lock=lock, readahead=readahead)
+        except ImportError:
+            from .lmdb_codec import LmdbReader
+
+            self._native = False
+            for key, path in zip(client_keys, db_paths):
+                self._client[key] = LmdbReader(str(path))
 
     def get(self, filepath: str, client_key: str = "default") -> bytes:
         client = self._client[client_key]
-        with client.begin(write=False) as txn:
-            return txn.get(str(filepath).encode("ascii"))
+        if self._native:
+            with client.begin(write=False) as txn:
+                return txn.get(str(filepath).encode("ascii"))
+        return client.get(str(filepath))
 
 
 class MemcachedBackend:  # pragma: no cover - needs a memcached deployment

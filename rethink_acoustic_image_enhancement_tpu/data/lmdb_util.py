@@ -2,9 +2,9 @@
 
 Packs an image folder into an LMDB shard with the BasicSR meta layout:
 keys are basenames (no extension), values are encoded image bytes, plus a
-``meta_info.txt`` of "key (HxWxC) compression_level" lines. Gated on the
-``lmdb`` package (not installed in this image — the disk backend is the
-default everywhere)."""
+``meta_info.txt`` of "key (HxWxC) compression_level" lines. Uses the
+``lmdb`` package when importable, else the bundled dependency-free codec
+(data/lmdb_codec.py) writing the same on-disk format."""
 
 from __future__ import annotations
 
@@ -17,10 +17,6 @@ from ..utils.image_io import list_images
 def make_lmdb_from_folder(folder: str, lmdb_path: str, batch: int = 100,
                           compress_level: int = 1,
                           map_size: int | None = None) -> int:
-    try:
-        import lmdb
-    except ImportError as e:  # pragma: no cover
-        raise ImportError("pip install lmdb to build LMDB corpora") from e
     import cv2
 
     if not lmdb_path.endswith(".lmdb"):
@@ -29,29 +25,32 @@ def make_lmdb_from_folder(folder: str, lmdb_path: str, batch: int = 100,
     if not paths:
         raise ValueError(f"no images in {folder}")
 
-    if map_size is None:
-        probe = cv2.imread(paths[0], cv2.IMREAD_UNCHANGED)
-        _, buf = cv2.imencode(".png", probe,
-                              [cv2.IMWRITE_PNG_COMPRESSION, compress_level])
-        map_size = buf.nbytes * len(paths) * 10
-
-    env = lmdb.open(lmdb_path, map_size=map_size)
-    txn = env.begin(write=True)
+    items = []
     lines = []
-    for i, path in enumerate(paths):
+    for path in paths:
         key = osp.splitext(osp.basename(path))[0]
         img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
         h, w = img.shape[:2]
         c = 1 if img.ndim == 2 else img.shape[2]
         _, buf = cv2.imencode(".png", img,
                               [cv2.IMWRITE_PNG_COMPRESSION, compress_level])
-        txn.put(key.encode("ascii"), buf.tobytes())
+        items.append((key.encode("ascii"), buf.tobytes()))
         lines.append(f"{key}.png ({h},{w},{c}) {compress_level}")
-        if (i + 1) % batch == 0:
-            txn.commit()
-            txn = env.begin(write=True)
-    txn.commit()
-    env.close()
+
+    try:
+        import lmdb
+
+        if map_size is None:
+            map_size = sum(len(v) for _, v in items) * 10 + (1 << 20)
+        env = lmdb.open(lmdb_path, map_size=map_size)
+        with env.begin(write=True) as txn:
+            for k, v in items:
+                txn.put(k, v)
+        env.close()
+    except ImportError:
+        from .lmdb_codec import write_lmdb
+
+        write_lmdb(lmdb_path, items)
     with open(osp.join(lmdb_path, "meta_info.txt"), "w") as f:
         f.write("\n".join(lines) + "\n")
     return len(paths)

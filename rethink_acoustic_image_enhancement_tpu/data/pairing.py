@@ -89,6 +89,33 @@ def paired_paths_from_meta_info_file(folders, keys, meta_info_file,
     return pairs
 
 
+def paired_paths_from_lmdb(folders: Sequence[str],
+                           keys: Sequence[str]) -> list[dict]:
+    """Pairing from LMDB shards (data_util.py:92-156): both folders must be
+    ``*.lmdb`` envs; keys (basenames without extension) come from each
+    shard's ``meta_info.txt`` and must match across shards. The returned
+    'paths' are the shared lmdb keys."""
+    assert len(folders) == 2 and len(keys) == 2
+    input_folder, gt_folder = folders
+    input_key, gt_key = keys
+    if not (str(input_folder).endswith(".lmdb")
+            and str(gt_folder).endswith(".lmdb")):
+        raise ValueError(
+            f"{input_key}/{gt_key} folders must both be .lmdb envs; got "
+            f"{input_folder!r}, {gt_folder!r}")
+
+    def meta_keys(folder):
+        with open(osp.join(folder, "meta_info.txt")) as f:
+            return [line.split(".")[0] for line in f if line.strip()]
+
+    input_keys, gt_keys = meta_keys(input_folder), meta_keys(gt_folder)
+    if set(input_keys) != set(gt_keys):
+        raise ValueError(f"keys in {input_key} and {gt_key} lmdb shards "
+                         "differ")
+    return [{f"{input_key}_path": k, f"{gt_key}_path": k}
+            for k in sorted(input_keys)]
+
+
 def _numeric_prefix_key(name: str):
     """Sort key: leading integer before '_' (paired_image_dataset.py:60)."""
     return int(name.split("_")[0])

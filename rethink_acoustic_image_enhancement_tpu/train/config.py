@@ -67,7 +67,7 @@ def validate(opt: dict[str, Any]) -> None:
     """Fail fast on dead component names (the reference would raise deep
     inside training — e.g. the shipped 01_2 config references a nonexistent
     arch class, SURVEY.md §5.6)."""
-    from ..data.datasets import DATASETS
+    from ..data.datasets import DATASETS, validate_dataset_opt
     from ..losses import _REGISTRY as LOSSES
     from ..models import REGISTRY as MODELS
 
@@ -79,6 +79,7 @@ def validate(opt: dict[str, Any]) -> None:
         if ds.get("type") not in DATASETS:
             raise KeyError(f"datasets.{phase}.type {ds.get('type')!r} not in "
                            f"{sorted(DATASETS)}")
+        validate_dataset_opt(ds, where=f"datasets.{phase}")
     train = opt.get("train")
     if train:
         pix = train.get("pixel_opt", {})

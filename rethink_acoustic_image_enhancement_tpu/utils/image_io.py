@@ -77,6 +77,31 @@ def imread_bgr(path: str) -> np.ndarray:
     return img.astype(np.float32) / 255.0
 
 
+def imfrombytes_bgr(buf: bytes) -> np.ndarray:
+    """Decode encoded image bytes -> BGR float32 [0,1] HWC; the FileClient
+    read path (img_util.imfrombytes, flag='color'). Bit-identical to
+    imread_bgr on the same file's bytes."""
+    if not _HAS_CV2:  # pragma: no cover
+        raise ImportError("byte decoding needs cv2")
+    img = cv2.imdecode(np.frombuffer(buf, np.uint8), cv2.IMREAD_COLOR)
+    if img is None:
+        raise IOError("failed to decode image bytes")
+    return img.astype(np.float32) / 255.0
+
+
+def imfrombytes_gray(buf: bytes) -> np.ndarray:
+    """Decode encoded image bytes -> grayscale float32 [0,1] HW, matching
+    imread_gray (IMREAD_UNCHANGED + BGR2GRAY on color input)."""
+    if not _HAS_CV2:  # pragma: no cover
+        raise ImportError("byte decoding needs cv2")
+    img = cv2.imdecode(np.frombuffer(buf, np.uint8), cv2.IMREAD_UNCHANGED)
+    if img is None:
+        raise IOError("failed to decode image bytes")
+    if img.ndim == 3:
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+    return img.astype(np.float32) / 255.0
+
+
 def resize_area(img: np.ndarray, w: int, h: int) -> np.ndarray:
     """cv2.INTER_AREA resize (student stack loader resizes to frame 0)."""
     if _HAS_CV2:

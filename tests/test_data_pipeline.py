@@ -205,9 +205,9 @@ def test_decode_cache_identical_and_hits(teacher_root):
     calls = []
     orig = cached._read
 
-    def counting_read(path, reader):
+    def counting_read(path, reader, key="default"):
         calls.append(path)
-        return orig(path, reader)
+        return orig(path, reader, key)
 
     cached._read = counting_read
     n_before = len(cached._decode_cache)
