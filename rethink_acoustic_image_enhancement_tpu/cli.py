@@ -22,6 +22,17 @@ import sys
 
 
 def _cmd_train(args) -> int:
+    # multi-HOST init must precede any device use (the reference's
+    # --launcher pytorch|slurm -> init_dist handshake, train.py:57-67);
+    # flags win, else torchrun/SLURM env autodetection, else TPU-pod
+    # metadata, else single-process
+    from .parallel import init_distributed
+
+    if args.launcher != "none" or args.coordinator or args.num_processes:
+        init_distributed(coordinator_address=args.coordinator,
+                         num_processes=args.num_processes,
+                         process_id=args.process_id)
+
     import jax
 
     from .train.config import make_exp_dirs, parse, validate
@@ -29,11 +40,16 @@ def _cmd_train(args) -> int:
 
     opt = parse(args.opt, is_train=True)
     validate(opt)
-    make_exp_dirs(opt)
+    if jax.process_index() == 0:
+        make_exp_dirs(opt)
+    if jax.process_count() > 1:
+        print(f"multi-host: process {jax.process_index()}/"
+              f"{jax.process_count()}, {jax.local_device_count()} local / "
+              f"{jax.device_count()} global devices")
     # multi-chip DP needs no launcher flag (the torchrun-DDP analog):
     # Trainer auto-builds a data-axis mesh over all local devices when
     # none is passed (trainer.py) — surface that so the user sees it
-    if jax.device_count() > 1:
+    elif jax.device_count() > 1:
         print(f"data-parallel mesh over {jax.device_count()} devices")
     train_from_config(opt, max_iters=args.max_iters,
                       profile_steps=args.profile_steps)
@@ -321,6 +337,19 @@ def _cmd_convert(args) -> int:
 
     from .convert.torch_import import CONVERTERS, load_pth_state_dict
 
+    if args.reverse:
+        # orbax -> .pth (the exact inverse; reference tooling can consume
+        # checkpoints trained here, base_model.py:213-244 layout)
+        from .convert.torch_export import save_pth
+
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(os.path.abspath(args.out))
+        save_pth(args.pth, restored.get("params", restored), args.arch,
+                 ema_params=restored.get("params_ema"),
+                 batch_stats=restored.get("batch_stats"))
+        print(f"exported {args.out} [{args.arch}] -> {args.pth}")
+        return 0
+
     sd = load_pth_state_dict(args.pth, args.param_key)
     converted = CONVERTERS[args.arch](sd)
     ckptr = ocp.StandardCheckpointer()
@@ -346,6 +375,15 @@ def main(argv=None) -> int:
     p.add_argument("--profile-steps", type=int, default=0,
                    help="capture a device trace of N steady-state steps "
                         "and log the hlo_category time split")
+    p.add_argument("--launcher", choices=["none", "env", "tpu", "slurm"],
+                   default="none",
+                   help="multi-host init: 'env' reads torchrun/SLURM env "
+                        "vars, 'tpu' uses pod metadata, 'slurm' is an "
+                        "alias of env (reference --launcher, train.py:60)")
+    p.add_argument("--coordinator", default=None,
+                   help="coordinator host:port (e.g. host0:29500)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     p.set_defaults(fn=_cmd_train)
 
     p = sub.add_parser("train-asdqe", help="ASDQE quality-scorer training")
@@ -419,14 +457,20 @@ def main(argv=None) -> int:
     p.add_argument("--csv", default="stats_transposed.csv")
     p.set_defaults(fn=_cmd_score)
 
-    p = sub.add_parser("convert", help="reference .pth -> orbax checkpoint")
-    p.add_argument("--pth", required=True)
+    p = sub.add_parser("convert",
+                       help="reference .pth <-> orbax checkpoint")
+    p.add_argument("--pth", required=True,
+                   help="the .pth side (input, or output with --reverse)")
     p.add_argument("--arch", required=True,
                    choices=["KDLAE_teacher", "RestormerSuperResolutionParam2",
                             "Restormer", "KDLAE_student",
                             "DenoiseRatePredictor"])
-    p.add_argument("--out", required=True)
+    p.add_argument("--out", required=True,
+                   help="the orbax side (output, or input with --reverse)")
     p.add_argument("--param-key", default="params")
+    p.add_argument("--reverse", action="store_true",
+                   help="export: orbax checkpoint dir -> reference-layout "
+                        ".pth (params + params_ema when present)")
     p.set_defaults(fn=_cmd_convert)
 
     args = parser.parse_args(argv)

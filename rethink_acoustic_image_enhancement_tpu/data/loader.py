@@ -134,15 +134,34 @@ class DevicePrefetcher:
 
 
 def device_put_batch(mesh, batch, data_axis: str = "data"):
-    """Array leaves -> mesh (batch-dim sharded); non-arrays pass through."""
+    """Array leaves -> mesh (batch-dim sharded); non-arrays pass through.
+
+    Multi-process (TPU pod / multi-host CPU): each process's loader yields
+    its rank's LOCAL batch (EnlargedShuffleSampler shards the epoch), and
+    the local shards are assembled into one global array over the mesh —
+    the DistributedSampler+DDP data path (data_sampler.py:40), no NCCL.
+    """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     n = mesh.shape[data_axis]
+    multiproc = jax.process_count() > 1
 
     def put(x):
-        if isinstance(x, np.ndarray) and x.ndim >= 1 and x.shape[0] % n == 0:
-            return jax.device_put(x, NamedSharding(mesh, P(data_axis)))
-        if isinstance(x, np.ndarray):
+        if isinstance(x, np.ndarray) and x.ndim >= 1:
+            sharded = NamedSharding(mesh, P(data_axis))
+            if multiproc:
+                if (x.shape[0] * jax.process_count()) % n != 0:
+                    # replicating per-rank-DIFFERENT data would silently
+                    # diverge the replicas — refuse instead
+                    raise ValueError(
+                        f"global batch {x.shape[0]} x "
+                        f"{jax.process_count()} processes is not divisible "
+                        f"by the data-axis size {n}; adjust "
+                        "batch_size_per_gpu (local batch must be a "
+                        "multiple of the per-process device count)")
+                return jax.make_array_from_process_local_data(sharded, x)
+            if x.shape[0] % n == 0:
+                return jax.device_put(x, sharded)
             return jax.device_put(x, NamedSharding(mesh, P()))
         return x
 

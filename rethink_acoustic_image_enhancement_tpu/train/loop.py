@@ -65,7 +65,11 @@ def build_everything(opt: dict, mesh=None):
         example = jnp.zeros((1, ds_opt.get("num_pairs", 7), 16, 16))
     else:
         example = jnp.zeros((1, 16, 16, opt["network_g"].get("inp_channels", 3)))
-    params = model.init(rng, example)["params"]
+    # jit the init: one compiled program instead of hundreds of eager op
+    # compiles — load-bearing in multi-process runs, where every compile
+    # pays a distributed-coordination round trip (~3 s each on the 2-proc
+    # CPU integration test; eager init would take tens of minutes)
+    params = jax.jit(lambda r: model.init(r, example))(rng)["params"]
 
     # pretrained load (strict or merge)
     load_path = opt.get("path", {}).get("pretrain_network_g")
@@ -290,7 +294,13 @@ def train_from_config(opt: dict, mesh=None, max_iters: int | None = None,
         # tracker-agnostic metrics sink (wandb/swanlab analog, logger.py:87-105)
         jsonl_path=(os.path.join(log_dir, "metrics.jsonl")
                     if log_dir and jax.process_index() == 0 else None))
-    rng = jax.random.PRNGKey(opt.get("manual_seed", 0) + jax.process_index())
+    # the step key is an SPMD-replicated input and MUST be identical on
+    # every process (per-example randomness diversifies through the
+    # position-dependent bits of the sharded ops, not through the key);
+    # a per-rank key (the reference's seed+rank, train.py:89) would feed
+    # the compiled program inconsistent "replicated" values and silently
+    # diverge the replicas
+    rng = jax.random.PRNGKey(opt.get("manual_seed", 0))
     current_iter = int(state.step)
     epoch = start_epoch
     host_rng = np.random.default_rng(opt.get("manual_seed", 0))
@@ -308,11 +318,20 @@ def train_from_config(opt: dict, mesh=None, max_iters: int | None = None,
     # (the CUDAPrefetcher equivalent; critical here — tunnel H2D is slow)
     from ..data.loader import device_put_batch
 
+    # multi-process + progressive curriculum: the stage subsample must run
+    # on the host-local shard BEFORE global-array assembly (indexing a
+    # global array would gather non-addressable shards), so placement
+    # moves after the subsample in that mode (single trade: no prefetch
+    # overlap of H2D — multi-host pods feed full batches anyway)
+    late_place = jax.process_count() > 1 and prog is not None
+
     def _put(b):
         if online_target_fn is not None:
             # the teacher generates gt on device — don't pay H2D (~38 MB/s
             # on this tunnel) for a target that's immediately discarded
             b = {k: v for k, v in b.items() if k != "gt"}
+        if late_place:
+            return b
         arrays = {k: v for k, v in b.items() if isinstance(v, np.ndarray)
                   or isinstance(v, dict)}
         rest = {k: v for k, v in b.items() if k not in arrays}
@@ -344,6 +363,11 @@ def train_from_config(opt: dict, mesh=None, max_iters: int | None = None,
                     if gt is not None:
                         gt = subsample_batch(gt, idx)
                 extra_prob = max(mini_prob - prog.base_prob, 0.0)
+            if late_place:
+                placed = device_put_batch(
+                    trainer.mesh,
+                    {"lq": lq, **({"gt": gt} if gt is not None else {})})
+                lq, gt = placed["lq"], placed.get("gt", gt)
             if online_target_fn is not None:
                 # after subsampling: no teacher forwards on dropped rows
                 if isinstance(lq, dict) or jnp.ndim(lq) != 4:
@@ -384,14 +408,17 @@ def train_from_config(opt: dict, mesh=None, max_iters: int | None = None,
                            {k: float(v) for k, v in metrics.items()},
                            iter_time, data_time)
             if ckpt_freq and current_iter % ckpt_freq == 0:
-                if jax.process_index() == 0 and states_dir:
+                # orbax saves are COLLECTIVE in multi-process runs (all
+                # ranks join the finalization barrier; only the primary
+                # host writes) — a rank-0-only gate would deadlock
+                if states_dir:
                     save_checkpoint(states_dir, current_iter, state, epoch)
                     save_weights(opt["path"]["models"], current_iter,
                                  state.params, state.ema_params)
-                    log(f"saved checkpoint @ {current_iter}")
-                    keep = int(logger_cfg.get("keep_checkpoints", 0) or 0)
-                    if keep:
-                        gone = prune_checkpoints(
+                    if jax.process_index() == 0:
+                        log(f"saved checkpoint @ {current_iter}")
+                        keep = int(logger_cfg.get("keep_checkpoints", 0) or 0)
+                        gone = keep and prune_checkpoints(
                             states_dir, opt["path"]["models"], keep)
                         if gone:
                             log(f"rotated {len(gone)} old checkpoints")
@@ -410,9 +437,10 @@ def train_from_config(opt: dict, mesh=None, max_iters: int | None = None,
     if profiling_now:  # run ended inside the profile window
         jax.profiler.stop_trace()
 
-    if jax.process_index() == 0 and states_dir:
+    if states_dir:
         save_checkpoint(states_dir, current_iter, state, epoch)
         save_weights(opt["path"]["models"], current_iter,
                      state.params, state.ema_params)
-        log(f"training done @ {current_iter}")
+        if jax.process_index() == 0:
+            log(f"training done @ {current_iter}")
     return state

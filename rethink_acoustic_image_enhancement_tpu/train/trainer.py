@@ -216,9 +216,17 @@ class Trainer:
     def step(self, state: TrainState, lq, gt, rng,
              extra_prob: float = 0.0, mini_gt_size: int = 0):
         """One training iteration. lq/gt: host or device pytrees whose
-        leading dim is the (already stage-subsampled) batch."""
-        lq = jax.device_put(lq, self._shard_like(lq))
-        gt = jax.device_put(gt, self._shard_like(gt))
+        leading dim is the (already stage-subsampled) batch. In
+        multi-process runs, host leaves are the process-LOCAL batch shard
+        and are assembled into global arrays over the mesh."""
+        if jax.process_count() > 1:
+            from ..data.loader import device_put_batch
+
+            lq = device_put_batch(self.mesh, lq)
+            gt = device_put_batch(self.mesh, gt)
+        else:
+            lq = jax.device_put(lq, self._shard_like(lq))
+            gt = jax.device_put(gt, self._shard_like(gt))
         batch = jax.tree.leaves(lq)[0].shape[0]
         fn = self._get_step(batch, mini_gt_size)
         return fn(state, lq, gt, rng, jnp.asarray(extra_prob, jnp.float32))
