@@ -54,3 +54,61 @@ def calculate_fid(mu1: np.ndarray, sigma1: np.ndarray,
 
 def fid_between_feature_sets(f1: np.ndarray, f2: np.ndarray) -> float:
     return calculate_fid(*calculate_stats(f1), *calculate_stats(f2))
+
+
+def make_asdqe_feature_fn(params=None, batch_stats=None, seed: int = 0):
+    """The shipped default FID feature extractor: the ASDQE scorer's
+    pre-MLP pooled embedding ((N, H, W, 3) [0,1] -> (N, 48)), computed
+    with lq = gt = batch so the diff branch is silent.
+
+    Pass trained ASDQE ``params``/``batch_stats`` (orbax or converted
+    .pth) for a quality-aware feature space; with none given, a
+    seeded-random ASDQE is used — untrained-CNN FID features are a known
+    valid substitute when no pretrained embedding exists, and the fixed
+    seed keeps scores comparable across runs. The ``feature_fn`` slot of
+    ``extract_features`` stays pluggable for Inception et al.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.asdqe import DenoiseRatePredictor
+
+    model = DenoiseRatePredictor()
+    if params is None:
+        x0 = jnp.zeros((1, 32, 32, 3))
+        variables = model.init(jax.random.PRNGKey(seed), x0, x0)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+
+    @jax.jit
+    def fwd(x):
+        return model.apply({"params": params,
+                            "batch_stats": batch_stats or {}},
+                           x, x, return_features=True)
+
+    def feature_fn(batch: np.ndarray) -> np.ndarray:
+        x = jnp.asarray(np.asarray(batch, np.float32))
+        if x.ndim == 3:
+            x = x[None]
+        return np.asarray(fwd(x))
+
+    return feature_fn
+
+
+def fid_between_folders(dir1: str, dir2: str, feature_fn=None) -> float:
+    """End-to-end FID between two image folders — usable without any
+    external weights (default ASDQE feature space, see
+    ``make_asdqe_feature_fn``). Images are scored one by one (global
+    average pooling makes the embedding size-independent)."""
+    from ..utils.image_io import imread_rgb, list_images
+
+    feature_fn = feature_fn or make_asdqe_feature_fn()
+
+    def feats(folder):
+        paths = list_images(folder)
+        if len(paths) < 2:
+            raise ValueError(f"need >=2 images in {folder} to fit stats")
+        return extract_features((imread_rgb(p)[None] for p in paths),
+                                feature_fn)
+
+    return fid_between_feature_sets(feats(dir1), feats(dir2))

@@ -100,7 +100,8 @@ class DenoiseRatePredictor(nn.Module):
 
     @nn.compact
     def __call__(self, lq: jnp.ndarray, gt: jnp.ndarray,
-                 train: bool = False) -> jnp.ndarray:
+                 train: bool = False,
+                 return_features: bool = False) -> jnp.ndarray:
         lq, _ = pad_to_multiple(lq, self.dim, mode="constant")
         gt, _ = pad_to_multiple(gt, self.dim, mode="constant")
 
@@ -112,6 +113,11 @@ class DenoiseRatePredictor(nn.Module):
         enhanced = UNet(self.dim * 3, name="unet")(merged, train)
 
         z = global_avg_pool(enhanced)
+        if return_features:
+            # the pre-MLP pooled embedding (B, 3*dim) — used as the default
+            # FID feature space (metrics/fid.py). Apply-only path: init
+            # with return_features=False so the MLP params exist.
+            return z
         z = nn.relu(nn.Dense(256, name="fc1")(z))
         z = nn.Dropout(0.5, deterministic=not train)(z)
         z = nn.relu(nn.Dense(64, name="fc2")(z))

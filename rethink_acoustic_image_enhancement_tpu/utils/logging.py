@@ -78,12 +78,26 @@ class MessageLogger:
         self.jsonl = JsonlMetricsSink(jsonl_path) if jsonl_path else None
         self._tb = None
         if tb_log_dir:
+            # torch-free first (tensorboardX), torch's writer as fallback;
+            # warn loudly instead of silently dropping the request
+            # (logger.py:80-86 analog)
             try:
-                from torch.utils.tensorboard import SummaryWriter
-
+                from tensorboardX import SummaryWriter
+            except ImportError:
+                try:
+                    from torch.utils.tensorboard import SummaryWriter
+                except ImportError:
+                    SummaryWriter = None
+            if SummaryWriter is not None:
                 self._tb = SummaryWriter(tb_log_dir)
-            except Exception:
-                self._tb = None
+            else:
+                import warnings
+
+                warnings.warn(
+                    "use_tb_logger requested but neither tensorboardX nor "
+                    "torch is installed — TensorBoard scalars will NOT be "
+                    "written (JSONL metrics sink still records everything)",
+                    stacklevel=2)
 
     def __call__(self, epoch: int, current_iter: int, metrics: dict,
                  iter_time: float = 0.0, data_time: float = 0.0) -> None:
