@@ -723,7 +723,7 @@ KNOWN_DATASET_KEYS = frozenset({
     # sampling / loader (data/__init__.py:56-119 analog)
     "use_shuffle", "num_worker_per_gpu", "batch_size_per_gpu",
     "dataset_enlarge_ratio", "drop_last", "pin_memory", "prefetch_mode",
-    "seed",
+    "seed", "device_resident",
     # crops / aug
     "gt_size", "geometric_augs", "mean", "std", "use_hflip", "use_rot",
     # progressive curriculum (train.py:246-252)

@@ -1,0 +1,199 @@
+"""Device-resident corpus: student batch generation entirely in HBM.
+
+The reference's student data path decodes, crops, corrupts, and augments
+every (7-frame x up-to-384px) stack on the host CPU and ships ~30 MB to
+the device per iteration (Dataset_PairedMutiImage,
+Train/basicsr/data/paired_image_dataset.py:109-297 + the train.py:431-448
+masking). On a tunnel-attached TPU the transfer alone dwarfs the 0.29M-
+param student's compute — and this host never stops paying it (the axon
+client leaks every H2D buffer, see CLAUDE.md).
+
+TPU-native redesign: upload the decoded frame corpus to HBM ONCE, then
+generate each training batch on device inside one jitted program:
+
+  gather group frames -> per-item random crop (dynamic_slice) ->
+  masked-denoising corruption (64%: per-frame Bernoulli masks with the
+  36% prob+0.5 boost / else simulated frame interpolation) ->
+  degenerate-input noise guard -> shared 8-way flip/rot aug
+
+Per-iteration H2D shrinks to a PRNG key + a few int32 group ids. The
+corruption/aug semantics mirror the host dataset op-for-op (same
+primitives: ops/mask.input_mask, frame_interpolation_corrupt); randomness
+comes from the threaded key instead of the host Generators, so streams
+differ but distributions match (tested in tests/test_device_corpus.py).
+
+Enable with ``datasets.train.device_resident: true`` (student /
+Dataset_PairedMutiImage configs). Single-process only — multi-host runs
+feed from the host pipeline.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.mask import frame_interpolation_corrupt, input_mask
+
+
+def _augment8(img: jnp.ndarray, mode: jnp.ndarray) -> jnp.ndarray:
+    """The host pipeline's 8 flip/rot90 modes (data/transforms.py:67-87)
+    on a (..., H, W) tensor with square H=W, traced mode scalar."""
+    rot = lambda k: lambda x: jnp.rot90(x, k=k, axes=(-2, -1))
+    flip = lambda x: jnp.flip(x, axis=-2)  # np.flipud on (H, W)
+    branches = [
+        lambda x: x,
+        flip,
+        rot(1),
+        lambda x: flip(rot(1)(x)),
+        rot(2),
+        lambda x: flip(rot(2)(x)),
+        rot(3),
+        lambda x: flip(rot(3)(x)),
+    ]
+    return jax.lax.switch(mode, branches, img)
+
+
+class StudentDeviceCorpus:
+    """Holds the full lq/gt frame corpus in HBM and samples training
+    batches on device. Frames are padded host-side (reflect, bottom/right
+    — pad_to_min_size semantics) to one common (H, W) at build time."""
+
+    def __init__(self, opt: dict, min_size: int | None = None):
+        from ..data.datasets import PairedMultiImageDataset
+
+        self.opt = dict(opt)
+        self.num_pairs = opt.get("num_pairs", 7)
+        self.base_prob = float(opt.get("prob", 0.0))
+        self.geometric_augs = bool(opt.get("geometric_augs", False))
+        self.gt_size = int(opt["gt_size"])
+        # reuse the host dataset for pairing/IO/grouping — one source of
+        # truth for which files train together
+        self._ds = PairedMultiImageDataset(dict(opt))
+
+        # decode every unique frame once
+        from ..utils.image_io import imread_gray
+
+        # index EVERY paired frame (numeric-prefix order, like the
+        # grouping) — epoch rerolls may reference frames no epoch-0 group
+        # touched, so the index can't be built from groups alone
+        import os.path as osp
+
+        from ..data.pairing import _numeric_prefix_key, scan_files
+
+        lq_files = sorted(scan_files(opt["dataroot_lq"]),
+                          key=_numeric_prefix_key)
+        gt_files = sorted(scan_files(opt["dataroot_gt"]),
+                          key=_numeric_prefix_key)
+        paths = [(osp.join(opt["dataroot_lq"], a),
+                  osp.join(opt["dataroot_gt"], b))
+                 for a, b in zip(lq_files, gt_files)]
+        if not paths or not self._ds.paths:
+            raise ValueError(
+                "empty corpus: no frame groups fit num_pairs="
+                f"{self.num_pairs} with stride_range="
+                f"{opt.get('stride_range')} over the given folders")
+        self._frame_index = {key: i for i, key in enumerate(paths)}
+        lq_frames = [self._ds._read(p_lq, imread_gray, "lq")
+                     for p_lq, _ in paths]
+        gt_frames = [self._ds._read(p_gt, imread_gray, "gt")
+                     for _, p_gt in paths]
+        target = max(min_size or 0, self.gt_size,
+                     max(f.shape[0] for f in gt_frames),
+                     max(f.shape[1] for f in gt_frames))
+        th = max(target, max(f.shape[0] for f in gt_frames))
+        tw = max(target, max(f.shape[1] for f in gt_frames))
+
+        def pad(img):
+            hp, wp = th - img.shape[0], tw - img.shape[1]
+            return np.pad(img, ((0, hp), (0, wp)), mode="reflect") \
+                if (hp or wp) else img
+
+        self.frame_hw = (th, tw)
+        self.lq = jnp.asarray(np.stack([pad(f) for f in lq_frames]))
+        self.gt = jnp.asarray(np.stack([pad(f) for f in gt_frames]))
+        self._set_groups()
+        self._sample_cache: dict[tuple, callable] = {}
+
+    # ----------------------------------------------------------- groups --
+    def _set_groups(self) -> None:
+        table = np.asarray(
+            [[self._frame_index[(g["lq_path"], g["gt_path"])] for g in group]
+             for group in self._ds.paths], np.int32)
+        self.groups = jnp.asarray(table)  # (G, F)
+
+    def set_epoch(self, epoch: int) -> None:
+        """Per-epoch stride reroll, mirroring the host dataset."""
+        self._ds.set_epoch(epoch)
+        self._set_groups()
+
+    def __len__(self) -> int:
+        return int(self.groups.shape[0])
+
+    # ----------------------------------------------------------- sample --
+    def _sample_one(self, key: jax.Array, group: jnp.ndarray,
+                    gt_size: int, prob: jnp.ndarray):
+        """One (F, gt_size, gt_size) lq/gt pair from a group of frame ids."""
+        k_top, k_left, k_mode, k_boost, k_mask, k_noise, k_aug = \
+            jax.random.split(key, 7)
+        lq = self.lq[group]  # (F, H, W)
+        gt = self.gt[group]
+
+        h, w = self.frame_hw
+        top = jax.random.randint(k_top, (), 0, h - gt_size + 1)
+        left = jax.random.randint(k_left, (), 0, w - gt_size + 1)
+        crop = lambda x: jax.lax.dynamic_slice(
+            x, (0, top, left), (x.shape[0], gt_size, gt_size))
+        lq, gt = crop(lq), crop(gt)
+
+        f = lq.shape[0]
+        # 64%: per-frame Bernoulli masks, 36% of frames boosted +0.5
+        # (paired_image_dataset.py:219-230)
+        boost = jax.random.uniform(k_boost, (f,)) > 0.64
+        probs = jnp.where(boost, prob + 0.5, prob)
+        masked = jax.vmap(input_mask)(
+            lq, jax.random.split(k_mask, f), probs)
+        # else: simulated frame interpolation (:231-241)
+        interp = frame_interpolation_corrupt(lq, k_mask, prob)
+        use_mask_mode = jax.random.uniform(k_mode) < 0.64
+        lq = jnp.where(use_mask_mode, masked, interp)
+
+        # degenerate-input rescue noise at 64% zero/one ratio (:243-246)
+        zero_ratio = jnp.maximum(jnp.mean(lq == 0), jnp.mean(lq == 1))
+        noise = jnp.clip(
+            lq + 0.3 + 0.7 * jax.random.normal(k_noise, lq.shape), 0.0, 1.0)
+        lq = jnp.where(zero_ratio > 0.64, noise, lq)
+
+        if self.geometric_augs:
+            mode = jax.random.randint(k_aug, (), 0, 8)
+            lq = _augment8(lq, mode)
+            gt = _augment8(gt, mode)
+        return lq, gt
+
+    def _build_sampler(self, batch: int, gt_size: int):
+        @functools.partial(jax.jit, static_argnums=())
+        def sample(key, group_ids, groups, prob):
+            keys = jax.random.split(key, batch)
+            return jax.vmap(
+                lambda k, gid: self._sample_one(k, groups[gid], gt_size,
+                                                prob))(keys, group_ids)
+
+        return sample
+
+    def sample_batch(self, key: jax.Array, group_ids: Sequence[int],
+                     gt_size: int | None = None,
+                     prob: float | None = None):
+        """(lq, gt) device batches of shape (B, F, g, g). One compiled
+        program per (batch, gt_size) bucket; ``prob`` is traced."""
+        gt_size = int(gt_size or self.gt_size)
+        group_ids = jnp.asarray(np.asarray(group_ids, np.int32))
+        batch = int(group_ids.shape[0])
+        cache_key = (batch, gt_size)
+        if cache_key not in self._sample_cache:
+            self._sample_cache[cache_key] = self._build_sampler(batch, gt_size)
+        p = jnp.asarray(self.base_prob if prob is None else prob, jnp.float32)
+        return self._sample_cache[cache_key](key, group_ids, self.groups, p)

@@ -260,15 +260,34 @@ def train_from_config(opt: dict, mesh=None, max_iters: int | None = None,
         log("online distillation: frozen teacher targets in the loop")
 
     ds_opt = opt["datasets"]["train"]
-    dataset = create_dataset(ds_opt)
-    sampler = EnlargedShuffleSampler(
-        len(dataset), ratio=ds_opt.get("dataset_enlarge_ratio", 1),
-        rank=jax.process_index(), world_size=jax.process_count(),
-        shuffle=ds_opt.get("use_shuffle", True),
-        seed=opt.get("manual_seed", 0))
-    loader = BatchLoader(dataset, ds_opt["batch_size_per_gpu"], sampler,
-                         num_workers=ds_opt.get("num_worker_per_gpu", 4),
-                         drop_last=ds_opt.get("drop_last", True))
+    device_resident = bool(ds_opt.get("device_resident"))
+    if device_resident:
+        # whole corpus in HBM, batches generated on device — per-iter H2D
+        # is a PRNG key + group ids (see train/device_corpus.py)
+        if jax.process_count() > 1:
+            raise NotImplementedError(
+                "device_resident corpora are single-process; multi-host "
+                "runs feed from the host pipeline")
+        if ds_opt.get("type") != "Dataset_PairedMutiImage":
+            raise NotImplementedError(
+                "device_resident currently supports the student dataset "
+                "(Dataset_PairedMutiImage)")
+        from .device_corpus import StudentDeviceCorpus
+
+        corpus = StudentDeviceCorpus(ds_opt)
+        dataset, loader = None, None
+        log(f"device-resident corpus: {int(corpus.lq.shape[0])} frames at "
+            f"{corpus.frame_hw}, {len(corpus)} groups in HBM")
+    else:
+        dataset = create_dataset(ds_opt)
+        sampler = EnlargedShuffleSampler(
+            len(dataset), ratio=ds_opt.get("dataset_enlarge_ratio", 1),
+            rank=jax.process_index(), world_size=jax.process_count(),
+            shuffle=ds_opt.get("use_shuffle", True),
+            seed=opt.get("manual_seed", 0))
+        loader = BatchLoader(dataset, ds_opt["batch_size_per_gpu"], sampler,
+                             num_workers=ds_opt.get("num_worker_per_gpu", 4),
+                             drop_last=ds_opt.get("drop_last", True))
     prog = ProgressiveSchedule.from_dataset_opt(ds_opt)
 
     total_iters = int(max_iters or opt["train"]["total_iter"])
@@ -343,26 +362,49 @@ def train_from_config(opt: dict, mesh=None, max_iters: int | None = None,
     profile_start_iter = current_iter + 3  # past compile + donation warmup
     profiling_now = False
 
+    def epoch_batches(ep: int):
+        if device_resident:
+            corpus.set_epoch(ep)
+            perm = host_rng.permutation(len(corpus))
+            bspg = int(ds_opt["batch_size_per_gpu"])
+            return ({"device_group_ids": perm[s:s + bspg]}
+                    for s in range(0, len(perm) - bspg + 1, bspg))
+        loader.set_epoch(ep)
+        return DevicePrefetcher(iter(loader), put=_put)
+
     t_data = time.time()
     while current_iter < total_iters:
-        loader.set_epoch(epoch)
-        for batch in DevicePrefetcher(iter(loader), put=_put):
+        for batch in epoch_batches(epoch):
             if current_iter >= total_iters:
                 break
             current_iter += 1
             data_time = time.time() - t_data
 
-            lq, gt = batch["lq"], batch.get("gt")
             extra_prob, mini_gt = 0.0, 0
-            if prog is not None:
-                mb, mini_gt, mini_prob = prog.at(current_iter)
-                bsz = (jax.tree.leaves(lq)[0]).shape[0]
-                if mb < bsz:
-                    idx = host_rng.choice(bsz, size=mb, replace=False)
-                    lq = subsample_batch(lq, idx)
-                    if gt is not None:
-                        gt = subsample_batch(gt, idx)
-                extra_prob = max(mini_prob - prog.base_prob, 0.0)
+            if device_resident:
+                # stage select, then generate the batch ON DEVICE at the
+                # stage patch size (crop-of-a-crop == direct crop); the
+                # trainer's extra-mask stage still applies mini_prob-base
+                gids = batch["device_group_ids"]
+                sample_gt = corpus.gt_size
+                if prog is not None:
+                    mb, sample_gt, mini_prob = prog.at(current_iter)
+                    gids = gids[:min(mb, len(gids))]
+                    extra_prob = max(mini_prob - prog.base_prob, 0.0)
+                rng, sample_rng = jax.random.split(rng)
+                lq, gt = corpus.sample_batch(sample_rng, gids,
+                                             gt_size=sample_gt)
+            else:
+                lq, gt = batch["lq"], batch.get("gt")
+                if prog is not None:
+                    mb, mini_gt, mini_prob = prog.at(current_iter)
+                    bsz = (jax.tree.leaves(lq)[0]).shape[0]
+                    if mb < bsz:
+                        idx = host_rng.choice(bsz, size=mb, replace=False)
+                        lq = subsample_batch(lq, idx)
+                        if gt is not None:
+                            gt = subsample_batch(gt, idx)
+                    extra_prob = max(mini_prob - prog.base_prob, 0.0)
             if late_place:
                 placed = device_put_batch(
                     trainer.mesh,

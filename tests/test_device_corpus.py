@@ -1,0 +1,155 @@
+"""Device-resident student corpus: on-device batch generation semantics
+vs the host Dataset_PairedMutiImage pipeline, and end-to-end training.
+
+The randomness streams differ (threaded PRNG keys vs host Generators), so
+the contract is distributional/structural equivalence of every pipeline
+stage (crop geometry, corruption rates, interpolation structure, aug
+coverage), not bitwise item parity — plus determinism per key.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rethink_acoustic_image_enhancement_tpu.train.device_corpus import (
+    StudentDeviceCorpus,
+    _augment8,
+)
+from rethink_acoustic_image_enhancement_tpu.utils.image_io import imwrite
+
+
+@pytest.fixture(scope="module")
+def corpus_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    rng = np.random.default_rng(0)
+    for sub in ("lq", "gt"):
+        os.makedirs(root / sub, exist_ok=True)
+    for i in range(12):
+        img = rng.integers(30, 220, (48, 56), dtype=np.uint8)
+        imwrite(str(root / "gt" / f"{i}_f.png"), img, rgb=False)
+        imwrite(str(root / "lq" / f"{i}_f.png"),
+                np.clip(img + rng.normal(0, 15, img.shape), 0, 255
+                        ).astype(np.uint8), rgb=False)
+    return root
+
+
+def _opt(root, **kw):
+    return {
+        "type": "Dataset_PairedMutiImage", "phase": "train", "scale": 1,
+        "dataroot_lq": str(root / "lq"), "dataroot_gt": str(root / "gt"),
+        "num_pairs": 5, "stride_range": [1, 1], "prob": 0.1,
+        "gt_size": 32, "geometric_augs": True, "seed": 3, **kw,
+    }
+
+
+def test_corpus_shapes_and_determinism(corpus_root):
+    c = StudentDeviceCorpus(_opt(corpus_root))
+    assert c.lq.shape == c.gt.shape and c.lq.shape[0] == 12
+    key = jax.random.PRNGKey(0)
+    lq, gt = c.sample_batch(key, [0, 1, 2], gt_size=32)
+    assert lq.shape == gt.shape == (3, 5, 32, 32)
+    lq2, gt2 = c.sample_batch(key, [0, 1, 2], gt_size=32)
+    np.testing.assert_array_equal(np.asarray(lq), np.asarray(lq2))
+    lq3, _ = c.sample_batch(jax.random.PRNGKey(1), [0, 1, 2], gt_size=32)
+    assert not np.array_equal(np.asarray(lq), np.asarray(lq3))
+
+
+def test_gt_is_clean_crop_of_corpus(corpus_root):
+    """gt must be an uncorrupted crop: every gt frame of every sampled
+    item appears verbatim in the corpus (up to the aug transform)."""
+    c = StudentDeviceCorpus(_opt(corpus_root, geometric_augs=False))
+    _, gt = c.sample_batch(jax.random.PRNGKey(7), [0], gt_size=24)
+    g = np.asarray(gt)[0, 0]
+    full = np.asarray(c.gt[np.asarray(c.groups)[0, 0]])
+    # find the crop offset by exhaustive match
+    found = any(
+        np.array_equal(full[t:t + 24, l:l + 24], g)
+        for t in range(full.shape[0] - 23) for l in range(full.shape[1] - 23))
+    assert found, "gt frame is not a verbatim corpus crop"
+
+
+def test_corruption_rates_match_host_semantics(corpus_root):
+    """Mask-mode/interp-mode mix and per-frame drop rates track the host
+    pipeline's (64% mode split, prob / prob+0.5 masks)."""
+    prob = 0.2
+    c = StudentDeviceCorpus(_opt(corpus_root, prob=prob,
+                                 geometric_augs=False))
+    drops = []
+    for s in range(40):
+        lq, gt = c.sample_batch(jax.random.PRNGKey(s), [s % len(c)],
+                                gt_size=32)
+        lq, gt = np.asarray(lq)[0], np.asarray(gt)[0]
+        # masked pixels are forced to -value (=-0.1): measurable drop rate
+        drops.append((lq == pytest.approx(-0.1)).mean()
+                     if False else np.mean(lq <= -0.0999))
+    mean_drop = float(np.mean(drops))
+    # expectation: mode mix .64 * E[frame probs: .64*prob + .36*(prob+.5)]
+    # + .36 * interp-mode E[...] -> both ≈ prob + .18 .. prob + .25 band
+    assert 0.25 <= mean_drop <= 0.55, mean_drop
+
+
+def test_augment8_matches_host_modes():
+    from rethink_acoustic_image_enhancement_tpu.data.transforms import (
+        data_augmentation,
+    )
+
+    img = np.arange(16.0, dtype=np.float32).reshape(4, 4)
+    for mode in range(8):
+        want = data_augmentation(img, mode)
+        got = np.asarray(_augment8(jnp.asarray(img), jnp.asarray(mode)))
+        np.testing.assert_array_equal(got, want, err_msg=f"mode {mode}")
+
+
+def test_epoch_reroll_changes_groups(corpus_root):
+    c = StudentDeviceCorpus(_opt(corpus_root, stride_range=[1, 2]))
+    g0 = np.asarray(c.groups).copy()
+    c.set_epoch(1)
+    g1 = np.asarray(c.groups)
+    assert g0.shape == g1.shape
+    assert not np.array_equal(g0, g1)  # stride reroll happened
+
+
+def test_train_from_config_device_resident(corpus_root, tmp_path):
+    """End-to-end: raie-train body with device_resident: true — per-iter
+    host->device traffic is just the key + group ids."""
+    from rethink_acoustic_image_enhancement_tpu.train.loop import (
+        train_from_config,
+    )
+
+    opt = {
+        "name": "smoke_devres", "model_type": "ImageCleanModel", "scale": 1,
+        "manual_seed": 0, "is_train": True,
+        "datasets": {"train": {
+            **_opt(corpus_root), "name": "TrainSet", "device_resident": True,
+            "use_shuffle": True, "num_worker_per_gpu": 1,
+            "batch_size_per_gpu": 4, "dataset_enlarge_ratio": 1,
+            "mini_batch_sizes": [4, 2], "iters": [2, 2],
+            "gt_sizes": [16, 32], "probs": [0.1, 0.3],
+        }},
+        "network_g": {"type": "KDLAE_student", "inp_channels": 1,
+                      "out_channels": 1, "residual": True,
+                      "hidden_channels": [4, 8]},
+        "path": {"pretrain_network_g": None, "resume_state": None,
+                 "models": str(tmp_path / "m"),
+                 "training_states": str(tmp_path / "s"),
+                 "log": str(tmp_path / "log")},
+        "train": {"total_iter": 4, "warmup_iter": -1, "use_grad_clip": True,
+                  "scheduler": {"type": "CosineAnnealingRestartCyclicLR",
+                                "periods": [4], "restart_weights": [1],
+                                "eta_mins": [1e-4]},
+                  "optim_g": {"type": "AdamW", "lr": 1e-3,
+                              "weight_decay": 0.0, "betas": [0.9, 0.999]},
+                  "pixel_opt": {"type": "L1LossForVideoFrames",
+                                "loss_weight": 1, "reduction": "mean",
+                                "l1loss_weight": 0.9,
+                                "temporal_weight": 0.1}},
+        "logger": {"print_freq": 1, "save_checkpoint_freq": 0},
+    }
+    state = train_from_config(opt)
+    assert int(state.step) == 4
+    flat = jax.tree.leaves(jax.device_get(state.params))
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in flat)
