@@ -344,6 +344,18 @@ def train_from_config(opt: dict, mesh=None, max_iters: int | None = None,
     # overlap of H2D — multi-host pods feed full batches anyway)
     late_place = jax.process_count() > 1 and prog is not None
 
+    # host-side progressive subsample INSIDE the prefetch thread: ship only
+    # the stage's mini-batch rows, not the full loader batch (the reference
+    # transfers the full batch then subsamples on-GPU, train.py:393-404 —
+    # through this tunnel that means 6x the H2D and 6x the client leak at
+    # the b1 stages). The thread counts consumed batches to know which
+    # iteration each prefetched batch lands on; the counter resets per
+    # epoch, so stage assignment can be off only by the prefetch depth
+    # (<=2) at the exact stage-transition iterations.
+    _prefetch_iter = [0]
+    _prefetch_rng = np.random.default_rng(
+        opt.get("manual_seed", 0) + 7919)
+
     def _put(b):
         if online_target_fn is not None:
             # the teacher generates gt on device — don't pay H2D (~38 MB/s
@@ -351,6 +363,16 @@ def train_from_config(opt: dict, mesh=None, max_iters: int | None = None,
             b = {k: v for k, v in b.items() if k != "gt"}
         if late_place:
             return b
+        if prog is not None:
+            _prefetch_iter[0] += 1
+            mb, _, _ = prog.at(_prefetch_iter[0])
+            bsz = jax.tree.leaves(b["lq"])[0].shape[0]
+            if mb < bsz:
+                idx = _prefetch_rng.choice(bsz, size=mb, replace=False)
+                b = dict(b)
+                b["lq"] = subsample_batch(b["lq"], idx)
+                if b.get("gt") is not None:
+                    b["gt"] = subsample_batch(b["gt"], idx)
         arrays = {k: v for k, v in b.items() if isinstance(v, np.ndarray)
                   or isinstance(v, dict)}
         rest = {k: v for k, v in b.items() if k not in arrays}
@@ -370,6 +392,7 @@ def train_from_config(opt: dict, mesh=None, max_iters: int | None = None,
             return ({"device_group_ids": perm[s:s + bspg]}
                     for s in range(0, len(perm) - bspg + 1, bspg))
         loader.set_epoch(ep)
+        _prefetch_iter[0] = current_iter  # re-sync the stage counter
         return DevicePrefetcher(iter(loader), put=_put)
 
     t_data = time.time()
