@@ -166,9 +166,30 @@ def _stream_groups(pred, paths, group_size, shape_bucket, denoise_rate,
             return (-(-shape[0] // b) * b, -(-shape[1] // b) * b)
         return shape[:2]
 
+    # one in-flight dispatched group: group k's D2H fetch + host writes
+    # overlap group k+1's device compute + the NEXT file decodes
+    pending: list = []  # [(paths, handle)]
+
+    def _drain():
+        while pending:
+            grp_paths, handle = pending.pop(0)
+            for p, out in zip(grp_paths, pred.fetch_group(handle)):
+                write(p, out)
+
     def _flush(items):
-        outs = pred.denoise_group([im for _, im in items],
-                                  denoise_rate=denoise_rate,
+        imgs = [im for _, im in items]
+        if getattr(pred, "scan_eligible", lambda *_: False)(imgs,
+                                                            group_size):
+            handle = pred.dispatch_group(imgs, denoise_rate=denoise_rate)
+            done = pending[:]
+            pending.clear()
+            pending.append(([p for p, _ in items], handle))
+            for grp_paths, h in done:
+                for p, out in zip(grp_paths, pred.fetch_group(h)):
+                    write(p, out)
+            return
+        _drain()
+        outs = pred.denoise_group(imgs, denoise_rate=denoise_rate,
                                   group_size=group_size)
         for (p, _), out in zip(items, outs):
             write(p, out)
@@ -186,6 +207,7 @@ def _stream_groups(pred, paths, group_size, shape_bucket, denoise_rate,
     for buf in buffers.values():
         if buf:
             _flush(buf)
+    _drain()
 
 
 def _cmd_serve(args) -> int:

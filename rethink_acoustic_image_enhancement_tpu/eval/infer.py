@@ -213,42 +213,97 @@ class TeacherPredictor:
 
             self._scan_apply = jax.jit(scan_fwd)
 
-        m = self.shape_bucket or self.multiple_of
-        target_h = _round_up(shape0[0], m)
-        target_w = _round_up(shape0[1], m)
         results: list[dict] = []
+        pending = None
         for base in range(0, len(imgs_rgb), group_size):
             chunk = imgs_rgb[base:base + group_size]
             if len(chunk) != group_size:
                 # short tail: a different scan length would retrace and pay
                 # minutes of remote compile to serve a few images — the
                 # per-image program is already compiled (or cheaper to)
+                if pending is not None:
+                    results.extend(self.fetch_group(pending,
+                                                    zero_mask=zero_mask))
+                    pending = None
                 results.extend(self(im, denoise_rate, zero_mask=zero_mask)
                                for im in chunk)
                 continue
-            x = np.stack([
-                _pad_reflect_np(im[None], target_h - im.shape[0],
-                                target_w - im.shape[1])
-                for im in chunk]).astype(np.float32)
-            rates = np.full((len(chunk), 1, target_h, target_w, 1),
-                            denoise_rate, np.float32)
-            hqs, srs = self._scan_apply(self.params,
-                                        jnp.asarray(x, self.dtype),
-                                        jnp.asarray(rates, self.dtype))
-            for j, im in enumerate(chunk):
-                h, w = im.shape[:2]
-                hq = np.asarray(hqs[j, 0, :h, :w])
-                out = {}
+            handle = self.dispatch_group(chunk, denoise_rate)
+            # pipelined serving: the previous group's D2H fetch + host
+            # post-processing overlap with this group's device compute
+            # (jax dispatch is async) — VERDICT r2 #6a, hides the ~20 ms
+            # uint8 fetch under the ~110 ms compute per 512px group
+            if pending is not None:
+                results.extend(self.fetch_group(pending,
+                                                zero_mask=zero_mask))
+            pending = handle
+        if pending is not None:
+            results.extend(self.fetch_group(pending, zero_mask=zero_mask))
+        return results
+
+    def scan_eligible(self, imgs: list[np.ndarray],
+                      group_size: int) -> bool:
+        """True when ``imgs`` can run as ONE scan dispatch (full group,
+        uniform raw — or uniformly bucketed — shape, no spatial mesh)."""
+        if self.mesh is not None or len(imgs) != group_size:
+            return False
+        shape0 = imgs[0].shape
+        if all(im.shape == shape0 for im in imgs):
+            return True
+        m_b = self.shape_bucket
+        if not m_b:
+            return False
+        targets = {(_round_up(im.shape[0], m_b), _round_up(im.shape[1], m_b))
+                   for im in imgs}
+        return len(targets) == 1
+
+    def dispatch_group(self, chunk: list[np.ndarray],
+                       denoise_rate: float = 1.0):
+        """Asynchronously dispatch one scan group; returns an opaque
+        handle for ``fetch_group``. Caller guarantees the chunk is
+        scan-eligible (uniform bucketed shape, full group)."""
+        if not hasattr(self, "_scan_apply"):
+            def scan_fwd(params, imgs, rates):
+                def body(_, xs):
+                    i, r = xs
+                    return None, self._forward(params, i, r)
+
+                _, outs = jax.lax.scan(body, None, (imgs, rates))
+                return outs
+
+            self._scan_apply = jax.jit(scan_fwd)
+        m = self.shape_bucket or self.multiple_of
+        target_h = max(_round_up(im.shape[0], m) for im in chunk)
+        target_w = max(_round_up(im.shape[1], m) for im in chunk)
+        x = np.stack([
+            _pad_reflect_np(im[None], target_h - im.shape[0],
+                            target_w - im.shape[1])
+            for im in chunk]).astype(np.float32)
+        rates = np.full((len(chunk), 1, target_h, target_w, 1),
+                        denoise_rate, np.float32)
+        hqs, srs = self._scan_apply(self.params,
+                                    jnp.asarray(x, self.dtype),
+                                    jnp.asarray(rates, self.dtype))
+        return (chunk, hqs, srs)
+
+    def fetch_group(self, handle, zero_mask: bool = True) -> list[dict]:
+        """Fetch + post-process a dispatched group (D2H boundary)."""
+        chunk, hqs, srs = handle
+        results: list[dict] = []
+        for j, im in enumerate(chunk):
+            h, w = im.shape[:2]
+            hq = np.asarray(hqs[j, 0, :h, :w])
+            out = {}
+            if zero_mask:
+                mask = zero_mask_from_input(to_ubyte(im))
+                hq = apply_zero_mask(hq, mask)
+            out["hq"] = hq
+            if srs is not None:
+                sr_img = np.asarray(srs[j, 0, :2 * h, :2 * w])
                 if zero_mask:
-                    mask = zero_mask_from_input(to_ubyte(im))
-                    hq = apply_zero_mask(hq, mask)
-                out["hq"] = hq
-                if srs is not None:
-                    sr_img = np.asarray(srs[j, 0, :2 * h, :2 * w])
-                    if zero_mask:
-                        sr_img = apply_zero_mask(sr_img, mask, scale=2)
-                    out["sr"] = sr_img
-                results.append(out)
+                    sr_img = apply_zero_mask(sr_img, mask, scale=2)
+                out["sr"] = sr_img
+            results.append(out)
         return results
 
 
