@@ -161,9 +161,14 @@ def test_rank_gating_of_checkpoints_and_sink(tmp_path, monkeypatch):
 
     monkeypatch.setattr(jax, "process_index", lambda: 1)
     monkeypatch.setattr(jax, "process_count", lambda: 2)
+    # checkpoint saves are COLLECTIVE since round 3 (orbax coordinates;
+    # rank-0-only gating deadlocks real multi-process runs) — they need a
+    # real jax.distributed client, so disable them for this fake-rank
+    # simulation; the real 2-OS-process integration test
+    # (test_multiprocess_launch.py) covers single-write checkpointing
+    opt["path"]["training_states"] = None
     state = train_from_config(opt, max_iters=6, log_fn=lambda m: None)
     assert int(state.step) == 6
-    assert os.listdir(opt["path"]["training_states"]) == []
     assert os.listdir(opt["path"]["models"]) == []
     assert not os.path.exists(os.path.join(opt["path"]["log"],
                                            "metrics.jsonl"))
