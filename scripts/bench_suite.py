@@ -39,6 +39,12 @@ def timed(fn, args, n=8, warmup=2):
     return min(times)
 
 
+def _timeit(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def main():
     results = {}
     rng = np.random.default_rng(0)
@@ -105,6 +111,42 @@ def main():
         dt = timed(fn, (p, x))
         results[f"kdlae_s_256_b32_{tag}_stacks_per_s"] = 32 / dt
         results[f"kdlae_s_256_b32_{tag}_frames_per_s"] = 32 * 7 / dt
+
+    # ---- end-to-end host serving: pad + H2D + dispatch + uint8 D2H + mask
+    # (what `raie infer-teacher`/`raie serve` actually pay per image on a
+    # tunnel-attached chip; sync = round-2 fetch-immediately, pipelined =
+    # denoise_group with one group in flight overlapping fetch with the
+    # next dispatch). Host-image path, so slower than the device-resident
+    # scan8 headline — the delta is the transfer cost.
+    from rethink_acoustic_image_enhancement_tpu.eval.infer import (
+        TeacherPredictor,
+    )
+    from rethink_acoustic_image_enhancement_tpu.models import flagship_teacher
+
+    tm = flagship_teacher(static="test")
+    t_params = jax.jit(lambda: tm.init(
+        jax.random.PRNGKey(0),
+        {"img": jnp.zeros((1, 64, 64, 3)),
+         "denoise_rate": jnp.zeros((1, 64, 64, 1))})["params"])()
+    t_params = jax.tree.map(lambda v: v.astype(jnp.bfloat16), t_params)
+    pred = TeacherPredictor(params=t_params, model=tm, dtype=jnp.bfloat16)
+    host_imgs = [rng.random((512, 512, 3)).astype(np.float32)
+                 for _ in range(32)]
+
+    def serve_sync():
+        outs = []
+        for b in range(0, 32, 8):
+            h = pred.dispatch_group(host_imgs[b:b + 8], 1.0)
+            outs.extend(pred.fetch_group(h))
+        return outs
+
+    def serve_pipe():
+        return pred.denoise_group(host_imgs, denoise_rate=1.0, group_size=8)
+
+    serve_sync(), serve_pipe()  # compile
+    for tag, fn in (("sync", serve_sync), ("pipelined", serve_pipe)):
+        best = min(_timeit(fn) for _ in range(3))
+        results[f"kdlae_t_512_serve_e2e_{tag}_img_per_s"] = 32 / best
 
     # ---- ASDQE 512px pair scoring
     am = DenoiseRatePredictor()
