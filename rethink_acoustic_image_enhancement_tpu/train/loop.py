@@ -213,6 +213,15 @@ def validate_model(model, params, val_loader, opt,
             count += 1
         if max_items is not None and count >= max_items:
             break
+    if count == 0:
+        # an empty val loader must not report metric=0.0 as if it were a
+        # score (e.g. a temporal val set whose stride_range can't form a
+        # single num_pairs group from short sequences)
+        import warnings
+
+        warnings.warn("validation loader yielded 0 items — no metrics "
+                      "computed (check the val dataset's pairing options)")
+        return {}
     return {k: v / max(sr_count if k.endswith("_sr") else count, 1)
             for k, v in sums.items()}
 
@@ -327,6 +336,10 @@ def train_from_config(opt: dict, mesh=None, max_iters: int | None = None,
     val_loader = None
     if val_freq and "val" in opt.get("datasets", {}):
         val_ds = create_dataset(opt["datasets"]["val"])
+        if len(val_ds) == 0:
+            log("WARNING: validation dataset is EMPTY — every validation "
+                "will be skipped (check pairing options, e.g. a "
+                "stride_range too wide for the sequence length)")
         val_loader_factory = lambda: BatchLoader(
             val_ds, 1, EnlargedShuffleSampler(len(val_ds), shuffle=False),
             num_workers=1, drop_last=False)
@@ -493,10 +506,14 @@ def train_from_config(opt: dict, mesh=None, max_iters: int | None = None,
                 val_params = (state.ema_params if state.ema_params is not None
                               else state.params)
                 scores = validate_model(model, val_params, val_loader(), opt)
-                if msg_logger.jsonl is not None:
-                    msg_logger.jsonl.write("val", current_iter, scores)
-                log(f"validation @ {current_iter}: " + ", ".join(
-                    f"{k}={v:.4f}" for k, v in scores.items()))
+                if not scores:
+                    log(f"validation @ {current_iter}: SKIPPED "
+                        "(val loader yielded 0 items)")
+                else:
+                    if msg_logger.jsonl is not None:
+                        msg_logger.jsonl.write("val", current_iter, scores)
+                    log(f"validation @ {current_iter}: " + ", ".join(
+                        f"{k}={v:.4f}" for k, v in scores.items()))
         epoch += 1
 
     if profiling_now:  # run ended inside the profile window

@@ -163,3 +163,15 @@ def test_tb_logging_warns_when_no_backend(tmp_path, monkeypatch):
         ml = MessageLogger(100, log=lambda s: None,
                            tb_log_dir=str(tmp_path / "tb2"))
     assert ml._tb is None
+
+
+def test_empty_val_loader_returns_no_scores():
+    """An empty val loader (e.g. a temporal val set whose stride_range
+    cannot form a single group) must return {} with a warning — never a
+    fake metric=0.0 (regression: KDLAES val printed psnr=0.0000)."""
+    import pytest
+
+    model, params = _teacher_and_params()
+    with pytest.warns(UserWarning, match="0 items"):
+        scores = validate_model(model, params, _FakeLoader([]), {"val": {}})
+    assert scores == {}
