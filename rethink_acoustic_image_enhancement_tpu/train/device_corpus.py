@@ -22,9 +22,11 @@ primitives: ops/mask.input_mask, frame_interpolation_corrupt); randomness
 comes from the threaded key instead of the host Generators, so streams
 differ but distributions match (tested in tests/test_device_corpus.py).
 
-Enable with ``datasets.train.device_resident: true`` (student /
-Dataset_PairedMutiImage configs). Single-process only — multi-host runs
-feed from the host pipeline.
+Enable with ``datasets.train.device_resident: true``. Supported for the
+student (Dataset_PairedMutiImage -> :class:`StudentDeviceCorpus`) and the
+teacher 3/4-modality datasets (Dataset_SuperRestoration[_param] ->
+:class:`TeacherDeviceCorpus`). Single-process only — multi-host runs feed
+from the host pipeline.
 """
 
 from __future__ import annotations
@@ -197,3 +199,189 @@ class StudentDeviceCorpus:
             self._sample_cache[cache_key] = self._build_sampler(batch, gt_size)
         p = jnp.asarray(self.base_prob if prob is None else prob, jnp.float32)
         return self._sample_cache[cache_key](key, group_ids, self.groups, p)
+
+
+class TeacherDeviceCorpus:
+    """Device-resident teacher corpus: the 4-modality
+    Dataset_SuperRestoration_param pipeline (paired_image_dataset.py:
+    857-1105) generated on device.
+
+    The host path decodes lq/gt/param + a 2x SR target per item and ships
+    up to ~3 MB/iter of float32 crops over the tunnel — and the teacher's
+    progressive stages (up to 384px here) make that the dominant cost on
+    a tunnel-attached chip, on top of the axon client's per-transfer host
+    leak (CLAUDE.md). Here the decoded corpus is uploaded ONCE (lq/gt at
+    native size, sr at exactly 2x, per-image denoise rates as a vector)
+    and each batch is generated in one jitted program:
+
+      gather image -> synchronized random crop (lq/gt at gt_size, sr via
+      dynamic_slice at doubled coordinates) -> 10% gaussian noise on lq
+      (sigma ~ U(1, 30)/255, :933-935/1087-1092) -> synchronized
+      hflip/vflip/rot90 aug (:1056-1082) -> zero-input epsilon guard
+      (:941-944) -> denoise-rate plane tile.
+
+    Crop offsets mirror the host window exactly: each image is reflect101
+    bottom/right padded (to the common HBM canvas), but offsets are drawn
+    from [1, h_eff - 1 - gt_size] with h_eff the image's OWN padded size,
+    so small images never crop into another image's canvas slack.
+    Randomness comes from the threaded step key (streams differ from the
+    host Generators; distributions match — tests/test_device_corpus.py).
+    """
+
+    def __init__(self, opt: dict, min_size: int | None = None):
+        from ..data.datasets import (SuperRestorationDataset,
+                                     SuperRestorationParamDataset,
+                                     _reflect101_pad_to)
+
+        self.opt = dict(opt)
+        dstype = opt.get("type", "Dataset_SuperRestoration_param")
+        cls = (SuperRestorationParamDataset
+               if dstype == "Dataset_SuperRestoration_param"
+               else SuperRestorationDataset)
+        # reuse the host dataset for pairing/IO/JSON — one source of truth
+        ds = self._ds = cls(dict(opt))
+        self.gt_size = int(ds.gt_size)
+        self.sr_scale = int(ds.SR_SCALE)
+        self.geometric_augs = bool(ds.geometric_augs)
+        if not ds.paths:
+            raise ValueError("empty teacher corpus: no paired modalities "
+                             f"under {opt.get('dataroot_gt')}")
+
+        import json as _json
+
+        lq_imgs, gt_imgs, sr_imgs, rates = [], [], [], []
+        for p in ds.paths:
+            img_gt = ds._read_img(p["gt_path"], "gt")
+            img_sr = ds._read_img(p["sr_path"], "sr")
+            h, w = img_gt.shape[:2]
+            if img_sr.shape[:2] != (h * self.sr_scale, w * self.sr_scale):
+                raise ValueError(
+                    f"SR size mismatch: GT={h}x{w} "
+                    f"SR={img_sr.shape[0]}x{img_sr.shape[1]} ({p['gt_path']})")
+            gt_imgs.append(img_gt)
+            lq_imgs.append(ds._read_img(p["lq_path"], "lq"))
+            sr_imgs.append(img_sr)
+            rate = 1.0
+            if ds.use_denoise_rate:
+                with open(p["param_path"]) as f:
+                    dr = _json.load(f).get("denoise_rate")
+                rate = 1.0 if dr is None else float(dr)
+            rates.append(rate)
+
+        # the host pads every image to gt_size + 2 so the reference's
+        # randint(1, h-1-gt_size) window exists; the HBM canvas is the max
+        # of that over the corpus (one common static shape)
+        min_hw = max(min_size or 0, self.gt_size + 2)
+        eff_h = [max(g.shape[0], min_hw) for g in gt_imgs]
+        eff_w = [max(g.shape[1], min_hw) for g in gt_imgs]
+        th, tw = max(eff_h), max(eff_w)
+        self.frame_hw = (th, tw)
+        s = self.sr_scale
+
+        def to_canvas(img, t_h, t_w):
+            img = _reflect101_pad_to(img, max(t_h, t_w))
+            hp, wp = t_h - img.shape[0], t_w - img.shape[1]
+            if hp or wp:
+                img = np.pad(img, ((0, max(hp, 0)), (0, max(wp, 0)), (0, 0)),
+                             mode="reflect")
+            return img[:t_h, :t_w]
+
+        to_rgb = lambda x: np.ascontiguousarray(
+            x[..., ::-1].astype(np.float32))
+        self.lq = jnp.asarray(np.stack(
+            [to_canvas(to_rgb(i), th, tw) for i in lq_imgs]))
+        self.gt = jnp.asarray(np.stack(
+            [to_canvas(to_rgb(i), th, tw) for i in gt_imgs]))
+        self.sr = jnp.asarray(np.stack(
+            [to_canvas(to_rgb(i), th * s, tw * s) for i in sr_imgs]))
+        self.rates = jnp.asarray(np.asarray(rates, np.float32))
+        self.eff_h = jnp.asarray(np.asarray(eff_h, np.int32))
+        self.eff_w = jnp.asarray(np.asarray(eff_w, np.int32))
+        self._sample_cache: dict[tuple, callable] = {}
+
+    def describe(self) -> str:
+        return (f"{int(self.lq.shape[0])} images at {self.frame_hw} "
+                f"(+{self.sr_scale}x sr) in HBM")
+
+    def set_epoch(self, epoch: int) -> None:  # interface parity
+        del epoch
+
+    def __len__(self) -> int:
+        return int(self.lq.shape[0])
+
+    # ----------------------------------------------------------- sample --
+    def _sample_one(self, key: jax.Array, idx: jnp.ndarray, gt_size: int):
+        k_top, k_left, k_gate, k_sigma, k_noise, k_hf, k_vf, k_rot = \
+            jax.random.split(key, 8)
+        lq, gt, sr = self.lq[idx], self.gt[idx], self.sr[idx]
+        s = self.sr_scale
+        sr_size = gt_size * s
+
+        # reference crop window: randint(1, h - 1 - gt_size) inclusive,
+        # over the image's own padded extent (paired_image_dataset.py:
+        # 1035-1054)
+        hi_t = jnp.maximum(self.eff_h[idx] - 1 - gt_size, 1)
+        hi_l = jnp.maximum(self.eff_w[idx] - 1 - gt_size, 1)
+        top = jax.random.randint(k_top, (), 1, hi_t + 1)
+        left = jax.random.randint(k_left, (), 1, hi_l + 1)
+        lq = jax.lax.dynamic_slice(lq, (top, left, 0),
+                                   (gt_size, gt_size, lq.shape[-1]))
+        gt = jax.lax.dynamic_slice(gt, (top, left, 0),
+                                   (gt_size, gt_size, gt.shape[-1]))
+        sr = jax.lax.dynamic_slice(sr, (top * s, left * s, 0),
+                                   (sr_size, sr_size, sr.shape[-1]))
+
+        # 10% gaussian noise on LQ, sigma ~ U(1, 30)/255 (:933-935)
+        sigma = jax.random.uniform(k_sigma, (), minval=1.0, maxval=30.0)
+        noisy = jnp.clip(
+            lq + jax.random.normal(k_noise, lq.shape) * (sigma / 255.0),
+            0.0, 1.0)
+        lq = jnp.where(jax.random.uniform(k_gate) < 0.1, noisy, lq)
+
+        if self.geometric_augs:
+            # synchronized multi-scale aug (:1056-1082): 50% hflip, 50%
+            # vflip, then one of {0, 90, 180, 270}; rot90 is safe on the
+            # square crops at both scales
+            hf = jax.random.uniform(k_hf) < 0.5
+            vf = jax.random.uniform(k_vf) < 0.5
+            k = jax.random.randint(k_rot, (), 0, 4)
+
+            def aug(x):
+                x = jnp.where(hf, jnp.flip(x, axis=1), x)
+                x = jnp.where(vf, jnp.flip(x, axis=0), x)
+                return jax.lax.switch(
+                    k, [lambda a: a] + [
+                        (lambda kk: lambda a: jnp.rot90(a, k=kk,
+                                                        axes=(0, 1)))(kk)
+                        for kk in (1, 2, 3)], x)
+
+            lq, gt, sr = aug(lq), aug(gt), aug(sr)
+
+        # zero-input epsilon guard (:941-944)
+        zero_ratio = jnp.maximum(jnp.mean(lq == 0), jnp.mean(lq == 1))
+        lq = jnp.where(zero_ratio > 0.10, lq + 1e-14, lq)
+
+        plane = jnp.full((gt_size, gt_size, 1), self.rates[idx], jnp.float32)
+        return ({"img": lq, "denoise_rate": plane}, {"hq": gt, "sr": sr})
+
+    def _build_sampler(self, batch: int, gt_size: int):
+        @jax.jit
+        def sample(key, ids):
+            keys = jax.random.split(key, batch)
+            return jax.vmap(
+                lambda k, i: self._sample_one(k, i, gt_size))(keys, ids)
+
+        return sample
+
+    def sample_batch(self, key: jax.Array, ids: Sequence[int],
+                     gt_size: int | None = None, prob=None):
+        """(lq, gt) dict batches matching the host feed format. One
+        compiled program per (batch, gt_size) bucket."""
+        del prob  # teacher curriculum carries no masking prob
+        gt_size = int(gt_size or self.gt_size)
+        ids = jnp.asarray(np.asarray(ids, np.int32))
+        batch = int(ids.shape[0])
+        cache_key = (batch, gt_size)
+        if cache_key not in self._sample_cache:
+            self._sample_cache[cache_key] = self._build_sampler(batch, gt_size)
+        return self._sample_cache[cache_key](key, ids)

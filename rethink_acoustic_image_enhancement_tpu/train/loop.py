@@ -277,16 +277,23 @@ def train_from_config(opt: dict, mesh=None, max_iters: int | None = None,
             raise NotImplementedError(
                 "device_resident corpora are single-process; multi-host "
                 "runs feed from the host pipeline")
-        if ds_opt.get("type") != "Dataset_PairedMutiImage":
-            raise NotImplementedError(
-                "device_resident currently supports the student dataset "
-                "(Dataset_PairedMutiImage)")
-        from .device_corpus import StudentDeviceCorpus
+        from .device_corpus import StudentDeviceCorpus, TeacherDeviceCorpus
 
-        corpus = StudentDeviceCorpus(ds_opt)
+        dstype = ds_opt.get("type")
+        if dstype == "Dataset_PairedMutiImage":
+            corpus = StudentDeviceCorpus(ds_opt)
+            desc = (f"{int(corpus.lq.shape[0])} frames at "
+                    f"{corpus.frame_hw}, {len(corpus)} groups in HBM")
+        elif dstype in ("Dataset_SuperRestoration_param",
+                        "Dataset_SuperRestoration"):
+            corpus = TeacherDeviceCorpus(ds_opt)
+            desc = corpus.describe()
+        else:
+            raise NotImplementedError(
+                "device_resident supports Dataset_PairedMutiImage and "
+                f"Dataset_SuperRestoration[_param]; got {dstype!r}")
         dataset, loader = None, None
-        log(f"device-resident corpus: {int(corpus.lq.shape[0])} frames at "
-            f"{corpus.frame_hw}, {len(corpus)} groups in HBM")
+        log(f"device-resident corpus: {desc}")
     else:
         dataset = create_dataset(ds_opt)
         sampler = EnlargedShuffleSampler(

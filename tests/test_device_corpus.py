@@ -153,3 +153,207 @@ def test_train_from_config_device_resident(corpus_root, tmp_path):
     assert int(state.step) == 4
     flat = jax.tree.leaves(jax.device_get(state.params))
     assert all(np.all(np.isfinite(np.asarray(x))) for x in flat)
+
+
+# ---------------------------------------------------------------- teacher --
+
+@pytest.fixture(scope="module")
+def teacher_root(tmp_path_factory):
+    """4-modality teacher corpus: lq/gt at 1x, sr at exactly 2x, JSON
+    denoise rates."""
+    import json
+
+    root = tmp_path_factory.mktemp("teacher")
+    rng = np.random.default_rng(1)
+    for sub in ("lq", "gt", "sr", "params"):
+        os.makedirs(root / sub, exist_ok=True)
+    for i in range(6):
+        name = f"img{i:03d}"
+        h, w = 40 + 2 * i, 44 + 2 * i  # heterogeneous sizes
+        gt = rng.integers(20, 230, (h, w, 3), dtype=np.uint8)
+        imwrite(str(root / "gt" / f"{name}.png"), gt, rgb=True)
+        imwrite(str(root / "lq" / f"{name}.png"),
+                np.clip(gt + rng.normal(0, 10, gt.shape), 0, 255
+                        ).astype(np.uint8), rgb=True)
+        imwrite(str(root / "sr" / f"{name}.png"),
+                rng.integers(20, 230, (2 * h, 2 * w, 3), dtype=np.uint8),
+                rgb=True)
+        (root / "params" / f"{name}.json").write_text(
+            json.dumps({"denoise_rate": 0.1 * i}))
+    return root
+
+
+def _teacher_opt(root, **kw):
+    return {
+        "type": "Dataset_SuperRestoration_param", "phase": "train",
+        "scale": 1, "dataroot_lq": str(root / "lq"),
+        "dataroot_gt": str(root / "gt"), "dataroot_sr": str(root / "sr"),
+        "dataroot_param": str(root / "params"), "gt_size": 24,
+        "geometric_augs": True, "seed": 5, **kw,
+    }
+
+
+def test_teacher_corpus_shapes_and_determinism(teacher_root):
+    from rethink_acoustic_image_enhancement_tpu.train.device_corpus import (
+        TeacherDeviceCorpus,
+    )
+
+    c = TeacherDeviceCorpus(_teacher_opt(teacher_root))
+    assert len(c) == 6
+    th, tw = c.frame_hw
+    assert c.sr.shape[1:3] == (2 * th, 2 * tw)
+    key = jax.random.PRNGKey(0)
+    lq, gt = c.sample_batch(key, [0, 3, 5], gt_size=24)
+    assert lq["img"].shape == (3, 24, 24, 3)
+    assert lq["denoise_rate"].shape == (3, 24, 24, 1)
+    assert gt["hq"].shape == (3, 24, 24, 3)
+    assert gt["sr"].shape == (3, 48, 48, 3)
+    # per-image denoise rate tiled into the plane
+    np.testing.assert_allclose(np.asarray(lq["denoise_rate"])[0], 0.0,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lq["denoise_rate"])[1], 0.3,
+                               atol=1e-6)
+    lq2, _ = c.sample_batch(key, [0, 3, 5], gt_size=24)
+    np.testing.assert_array_equal(np.asarray(lq["img"]),
+                                  np.asarray(lq2["img"]))
+    lq3, _ = c.sample_batch(jax.random.PRNGKey(9), [0, 3, 5], gt_size=24)
+    assert not np.array_equal(np.asarray(lq["img"]), np.asarray(lq3["img"]))
+
+
+def test_teacher_corpus_sr_crop_is_synchronized(teacher_root):
+    """The sr crop must be the canvas slice at exactly 2x the gt crop's
+    offset (paired_image_dataset.py:1035-1054 two-scale sync)."""
+    from rethink_acoustic_image_enhancement_tpu.train.device_corpus import (
+        TeacherDeviceCorpus,
+    )
+
+    c = TeacherDeviceCorpus(_teacher_opt(teacher_root,
+                                         geometric_augs=False))
+    g = 24
+    _, gt = c.sample_batch(jax.random.PRNGKey(11), [2], gt_size=g)
+    hq = np.asarray(gt["hq"])[0]
+    sr = np.asarray(gt["sr"])[0]
+    full_gt = np.asarray(c.gt[2])
+    full_sr = np.asarray(c.sr[2])
+    offs = [(t, l)
+            for t in range(full_gt.shape[0] - g + 1)
+            for l in range(full_gt.shape[1] - g + 1)
+            if np.array_equal(full_gt[t:t + g, l:l + g], hq)]
+    assert offs, "hq is not a verbatim canvas crop"
+    assert any(np.array_equal(full_sr[2 * t:2 * t + 2 * g,
+                                      2 * l:2 * l + 2 * g], sr)
+               for t, l in offs), "sr crop not at 2x the gt offset"
+    # host window semantics: offset >= 1 (randint(1, h-1-gt_size))
+    assert all(t >= 1 and l >= 1 for t, l in offs[:1])
+
+
+def test_teacher_corpus_noise_rate_and_epsilon_guard(teacher_root):
+    """~10% of samples get gaussian LQ noise; clean samples are verbatim
+    canvas crops."""
+    from rethink_acoustic_image_enhancement_tpu.train.device_corpus import (
+        TeacherDeviceCorpus,
+    )
+
+    c = TeacherDeviceCorpus(_teacher_opt(teacher_root,
+                                         geometric_augs=False))
+    g = 24
+    noisy = 0
+    n = 60
+    for s in range(n):
+        lq, _ = c.sample_batch(jax.random.PRNGKey(100 + s), [s % 6],
+                               gt_size=g)
+        img = np.asarray(lq["img"])[0]
+        full = np.asarray(c.lq[s % 6])
+        clean = any(
+            np.array_equal(full[t:t + g, l:l + g], img)
+            for t in range(full.shape[0] - g + 1)
+            for l in range(full.shape[1] - g + 1))
+        noisy += not clean
+    # Binomial(60, 0.1): central band
+    assert 1 <= noisy <= 16, noisy
+
+
+def test_teacher_corpus_aug_coverage(teacher_root):
+    """With geometric_augs, flips/rotations must actually occur and stay
+    synchronized between hq and sr."""
+    from rethink_acoustic_image_enhancement_tpu.train.device_corpus import (
+        TeacherDeviceCorpus,
+    )
+
+    c = TeacherDeviceCorpus(_teacher_opt(teacher_root))
+    g = 24
+    distinct = set()
+    for s in range(24):
+        lq, gt = c.sample_batch(jax.random.PRNGKey(s), [1], gt_size=g)
+        hq = np.asarray(gt["hq"])[0]
+        sr = np.asarray(gt["sr"])[0]
+        full_gt = np.asarray(c.gt[1])
+        # undo each of the 16 (hflip, vflip, rot) combos; find which one
+        # maps hq back to a verbatim canvas crop
+        for hf in (False, True):
+            for vf in (False, True):
+                for k in range(4):
+                    cand = np.rot90(hq, k=-k)
+                    cand = cand[::-1] if vf else cand
+                    cand = cand[:, ::-1] if hf else cand
+                    found = any(
+                        np.array_equal(full_gt[t:t + g, l:l + g], cand)
+                        for t in range(full_gt.shape[0] - g + 1)
+                        for l in range(full_gt.shape[1] - g + 1))
+                    if found:
+                        distinct.add((hf, vf, k))
+                        # sr must be transformed the same way
+                        sr_cand = np.rot90(sr, k=-k)
+                        sr_cand = sr_cand[::-1] if vf else sr_cand
+                        sr_cand = sr_cand[:, ::-1] if hf else sr_cand
+                        full_sr = np.asarray(c.sr[1])
+                        assert any(np.array_equal(
+                            full_sr[t:t + 2 * g, l:l + 2 * g], sr_cand)
+                            for t in range(0, full_sr.shape[0] - 2 * g + 1)
+                            for l in range(0, full_sr.shape[1] - 2 * g + 1))
+    assert len(distinct) >= 4, distinct
+
+
+def test_train_from_config_teacher_device_resident(teacher_root, tmp_path):
+    """End-to-end: the teacher curriculum trains from a device-resident
+    4-modality corpus (progressive stages sample at stage gt_size)."""
+    from rethink_acoustic_image_enhancement_tpu.train.loop import (
+        train_from_config,
+    )
+
+    opt = {
+        "name": "smoke_devres_t", "model_type": "ImageCleanModel",
+        "scale": 1, "manual_seed": 0, "is_train": True,
+        "datasets": {"train": {
+            **_teacher_opt(teacher_root, gt_size=16), "name": "TrainSet",
+            "device_resident": True, "use_shuffle": True,
+            "num_worker_per_gpu": 1, "batch_size_per_gpu": 2,
+            "dataset_enlarge_ratio": 1,
+            "mini_batch_sizes": [2, 1], "iters": [2, 2],
+            "gt_sizes": [8, 16],
+        }},
+        "network_g": {"type": "KDLAE_teacher", "inp_channels": 3,
+                      "out_channels": 3, "dim": 4,
+                      "num_blocks": [1, 1, 1, 1], "heads": [1, 1, 1, 1],
+                      "num_refinement_blocks": 1,
+                      "ffn_expansion_factor": 2.66, "bias": False,
+                      "LayerNorm_type": "WithBias", "static": "train",
+                      "params": "cat"},
+        "path": {"pretrain_network_g": None, "resume_state": None,
+                 "models": str(tmp_path / "m"),
+                 "training_states": str(tmp_path / "s"),
+                 "log": str(tmp_path / "log")},
+        "train": {"total_iter": 4, "warmup_iter": -1, "use_grad_clip": True,
+                  "scheduler": {"type": "CosineAnnealingRestartCyclicLR",
+                                "periods": [4], "restart_weights": [1],
+                                "eta_mins": [1e-4]},
+                  "optim_g": {"type": "AdamW", "lr": 1e-3,
+                              "weight_decay": 0.0, "betas": [0.9, 0.999]},
+                  "pixel_opt": {"type": "L1LossSr", "loss_weight": 1,
+                                "reduction": "mean"}},
+        "logger": {"print_freq": 1, "save_checkpoint_freq": 0},
+    }
+    state = train_from_config(opt)
+    assert int(state.step) == 4
+    flat = jax.tree.leaves(jax.device_get(state.params))
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in flat)
