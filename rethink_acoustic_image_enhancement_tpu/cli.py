@@ -156,9 +156,12 @@ def _stream_groups(pred, paths, group_size, shape_bucket, denoise_rate,
     large folders. ``read(path) -> image | None`` is injectable; a None
     skips the file (the serve daemon uses this to survive mid-copy or
     corrupt inputs)."""
-    from .utils.image_io import imread_rgb
+    from .utils.image_io import imread_rgb_ubyte
 
-    read = read or imread_rgb
+    # uint8 decode: the predictor ships 1 byte/px and converts in-jit
+    # (same float values as the float reader, 4x less H2D; outputs agree
+    # to <=1 quantization level)
+    read = read or imread_rgb_ubyte
 
     def _key(shape):
         if shape_bucket:  # same padded program -> same group
@@ -257,10 +260,10 @@ def _cmd_serve(args) -> int:
         print(f"{p} -> {os.path.join(args.output, base)}")
 
     def safe_read(p):
-        from .utils.image_io import imread_rgb
+        from .utils.image_io import imread_rgb_ubyte
 
         try:
-            return imread_rgb(p)
+            return imread_rgb_ubyte(p)
         except Exception as exc:  # mid-copy / corrupt / vanished input
             print(f"[serve] skip {p}: {exc}")
             return None

@@ -119,6 +119,25 @@ class TeacherPredictor:
                 jax.device_put(rate, spec).astype(self.dtype))
 
     def _forward(self, params, img, rate_plane):
+        # uint8 input boundary: images land as 1 byte/px and convert on
+        # device (x/255 — the model sees float values identical to the
+        # host readers' astype/255; uint8 OUTPUTS can differ from the
+        # float-input program by <=1 quantization level on isolated
+        # pixels where XLA fuses the cast differently). Host->device is
+        # the dominant serving cost off-chip (4 B/px fp32 + a constant
+        # fp32 rate PLANE was 5.3x the bytes of uint8 + a scalar rate).
+        if img.dtype == jnp.uint8:
+            # divide in float32 FIRST, then cast: u8->f32/255 reproduces
+            # the host readers' values exactly, so the model input is
+            # bit-identical to the float boundary in every serving dtype
+            # (dividing directly in bf16 would perturb inputs by a bf16
+            # ulp, which a model can amplify)
+            img = (img.astype(jnp.float32) / 255.0).astype(self.dtype)
+        if rate_plane.ndim == 0:
+            # scalar denoise rate: materialize the (1, H, W, 1) plane the
+            # model expects on device (broadcast is free under XLA fusion)
+            rate_plane = jnp.broadcast_to(
+                rate_plane.astype(self.dtype), (*img.shape[:3], 1))
         # fp32 quality path pins matmul precision so TPU fp32 matches the
         # reference's CPU numerics (see ASDQEScorer)
         ctx = (jax.default_matmul_precision("highest")
@@ -135,8 +154,10 @@ class TeacherPredictor:
 
     def __call__(self, img_rgb: np.ndarray, denoise_rate: float = 1.0,
                  zero_mask: bool = True):
-        """img_rgb: (H, W, 3) float32 [0,1]. Returns dict with 'hq' and
-        (when the model has the SR branch) 'sr' uint8 arrays."""
+        """img_rgb: (H, W, 3) float32 [0,1] or uint8. Returns dict with
+        'hq' and (when the model has the SR branch) 'sr' uint8 arrays.
+        uint8 inputs ship 1 byte/px and convert in-jit; outputs agree
+        with the float boundary to <=1 quantization level."""
         h, w, _ = img_rgb.shape
         m = self.multiple_of
         if self.shape_bucket:
@@ -146,18 +167,30 @@ class TeacherPredictor:
             m = m * self._n_spatial
         ph = _round_up(h, m) - h
         pw = _round_up(w, self.shape_bucket or self.multiple_of) - w
-        x = _pad_reflect_np(img_rgb[None], ph, pw).astype(np.float32)
-        rate = np.full((1, x.shape[1], x.shape[2], 1), denoise_rate, np.float32)
+        if img_rgb.dtype == np.uint8:
+            x = _pad_reflect_np(img_rgb[None], ph, pw)
+        else:
+            x = _pad_reflect_np(img_rgb[None], ph, pw).astype(np.float32)
         if self.mesh is not None:
+            # spatial-mesh placement converts host-side (device_put shards
+            # with an .astype outside the jit, which must not reinterpret
+            # raw uint8 values)
+            if x.dtype == np.uint8:
+                x = x.astype(np.float32) / 255.0
+            rate = np.full((1, x.shape[1], x.shape[2], 1), denoise_rate,
+                           np.float32)
             args = self._place_inputs(x, rate)
         else:
-            args = (self.params, jnp.asarray(x, self.dtype),
-                    jnp.asarray(rate, self.dtype))
+            args = (self.params,
+                    jnp.asarray(x) if x.dtype == np.uint8
+                    else jnp.asarray(x, self.dtype),
+                    jnp.asarray(denoise_rate, self.dtype))
         hq, sr = self._apply(*args)
         hq = np.asarray(hq[0, :h, :w])
         out = {}
         if zero_mask:
-            mask = zero_mask_from_input(to_ubyte(img_rgb))
+            mask = zero_mask_from_input(
+                img_rgb if img_rgb.dtype == np.uint8 else to_ubyte(img_rgb))
             hq = apply_zero_mask(hq, mask)
         out["hq"] = hq
         if sr is not None:
@@ -168,7 +201,11 @@ class TeacherPredictor:
         return out
 
     def denoise_file(self, path: str, denoise_rate: float = 1.0, **kw):
-        return self(imread_rgb(path), denoise_rate, **kw)
+        from ..utils.image_io import imread_rgb_ubyte
+
+        # uint8 boundary: 4x less H2D; outputs within 1 quantization
+        # level of the float reader (see _forward)
+        return self(imread_rgb_ubyte(path), denoise_rate, **kw)
 
     def denoise_group(self, imgs_rgb: list[np.ndarray],
                       denoise_rate: float = 1.0, zero_mask: bool = True,
@@ -275,14 +312,23 @@ class TeacherPredictor:
         m = self.shape_bucket or self.multiple_of
         target_h = max(_round_up(im.shape[0], m) for im in chunk)
         target_w = max(_round_up(im.shape[1], m) for im in chunk)
+        if any(im.dtype != np.uint8 for im in chunk):
+            # mixed dtypes must not stack raw (uint8 0..255 would promote
+            # without the /255): normalize stragglers to the float boundary
+            chunk = [im.astype(np.float32) / 255.0 if im.dtype == np.uint8
+                     else im for im in chunk]
         x = np.stack([
             _pad_reflect_np(im[None], target_h - im.shape[0],
                             target_w - im.shape[1])
-            for im in chunk]).astype(np.float32)
-        rates = np.full((len(chunk), 1, target_h, target_w, 1),
-                        denoise_rate, np.float32)
+            for im in chunk])
+        if x.dtype != np.uint8:  # uint8 groups ship 1 byte/px (see _forward)
+            x = x.astype(np.float32)
+        # per-image SCALAR rates; the (H, W, 1) plane the model wants is
+        # broadcast on device — shipping it cost 1 fp32/px of pure H2D
+        rates = np.full((len(chunk),), denoise_rate, np.float32)
         hqs, srs = self._scan_apply(self.params,
-                                    jnp.asarray(x, self.dtype),
+                                    jnp.asarray(x) if x.dtype == np.uint8
+                                    else jnp.asarray(x, self.dtype),
                                     jnp.asarray(rates, self.dtype))
         return (chunk, hqs, srs)
 
@@ -295,7 +341,8 @@ class TeacherPredictor:
             hq = np.asarray(hqs[j, 0, :h, :w])
             out = {}
             if zero_mask:
-                mask = zero_mask_from_input(to_ubyte(im))
+                mask = zero_mask_from_input(
+                    im if im.dtype == np.uint8 else to_ubyte(im))
                 hq = apply_zero_mask(hq, mask)
             out["hq"] = hq
             if srs is not None:

@@ -51,6 +51,18 @@ def imread_rgb(path: str) -> np.ndarray:
     return img.astype(np.float32) / 255.0
 
 
+def imread_rgb_ubyte(path: str) -> np.ndarray:
+    """RGB uint8 HWC. The serving paths ship this straight to the device
+    (TeacherPredictor converts in-jit with the identical /255 — the model
+    sees the same float values as imread_rgb's, at a quarter of the H2D
+    bytes; uint8 outputs agree to <=1 quantization level)."""
+    img = imread_rgb(path)
+    # imread_rgb is the decode source of truth (cv2/PIL fallbacks, alpha
+    # and gray handling); the decoded data is exact uint8/255, so the
+    # round-trip is lossless
+    return np.rint(img * 255.0).astype(np.uint8)
+
+
 def imread_gray(path: str) -> np.ndarray:
     if _HAS_CV2:
         img = cv2.imread(path, cv2.IMREAD_UNCHANGED)

@@ -143,8 +143,19 @@ def main():
     def serve_pipe():
         return pred.denoise_group(host_imgs, denoise_rate=1.0, group_size=8)
 
-    serve_sync(), serve_pipe()  # compile
-    for tag, fn in (("sync", serve_sync), ("pipelined", serve_pipe)):
+    # uint8 input boundary: what the CLI serve paths actually ship since
+    # round 3 (1 B/px + scalar rate vs 4 B/px + fp32 rate plane = 5.3x
+    # less H2D — the dominant e2e cost through the 38 MB/s tunnel)
+    host_imgs_u8 = [np.rint(im * 255.0).astype(np.uint8)
+                    for im in host_imgs]
+
+    def serve_pipe_u8():
+        return pred.denoise_group(host_imgs_u8, denoise_rate=1.0,
+                                  group_size=8)
+
+    serve_sync(), serve_pipe(), serve_pipe_u8()  # compile
+    for tag, fn in (("sync", serve_sync), ("pipelined", serve_pipe),
+                    ("pipelined_u8", serve_pipe_u8)):
         best = min(_timeit(fn) for _ in range(3))
         results[f"kdlae_t_512_serve_e2e_{tag}_img_per_s"] = 32 / best
 

@@ -187,3 +187,64 @@ def test_denoise_group_bucketed_mixed_shapes():
         s = pred(im, denoise_rate=0.5, zero_mask=False)
         assert g["hq"].shape == im.shape
         np.testing.assert_array_equal(g["hq"], s["hq"])
+
+
+def _assert_within_one_level(a, b, max_frac=0.001):
+    """uint8 outputs from the uint8 vs float input boundary: the float
+    values fed to the model are identical, but XLA may fuse the in-jit
+    /255 differently (e.g. fold it into the first conv), so isolated
+    pixels can round across a quantization boundary. Contract: <=1 uint8
+    level, on a vanishing fraction of pixels."""
+    d = np.abs(a.astype(np.int16) - b.astype(np.int16))
+    assert d.max() <= 1, d.max()
+    assert (d != 0).mean() <= max_frac, (d != 0).mean()
+
+
+def test_uint8_input_boundary_matches_float():
+    """uint8 inputs (1 byte/px H2D, in-jit /255) feed the model float
+    values identical to the float32 boundary; outputs agree to <=1 uint8
+    level (ulp-boundary rounding under different XLA fusions), per-image
+    and grouped — including the scalar denoise rate broadcast on device
+    replacing the old host rate plane."""
+    model, params = _small_teacher()
+    pred = TeacherPredictor(params=params, model=model)
+    rng = np.random.default_rng(3)
+    imgs_u8 = [rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+               for _ in range(4)]
+    imgs_f = [im.astype(np.float32) / 255.0 for im in imgs_u8]
+
+    for u8, f in zip(imgs_u8[:2], imgs_f[:2]):
+        a = pred(u8, denoise_rate=0.7, zero_mask=False)
+        b = pred(f, denoise_rate=0.7, zero_mask=False)
+        _assert_within_one_level(a["hq"], b["hq"])
+        _assert_within_one_level(a["sr"], b["sr"])
+
+    ga = pred.denoise_group(imgs_u8, denoise_rate=0.7, zero_mask=False,
+                            group_size=4)
+    gb = pred.denoise_group(imgs_f, denoise_rate=0.7, zero_mask=False,
+                            group_size=4)
+    for a, b in zip(ga, gb):
+        _assert_within_one_level(a["hq"], b["hq"])
+        _assert_within_one_level(a["sr"], b["sr"])
+
+    # zero-mask works on the uint8 path (input zeros stay zero)
+    z = imgs_u8[0].copy()
+    z[:5, :7] = 0
+    out = pred(z, denoise_rate=0.7, zero_mask=True)
+    assert (out["hq"][:5, :7] == 0).all()
+
+
+def test_uint8_mixed_dtype_group_is_consistent():
+    """A group mixing uint8 and float images must still match per-image
+    results (the stack must not promote raw uint8 without /255)."""
+    model, params = _small_teacher()
+    pred = TeacherPredictor(params=params, model=model)
+    rng = np.random.default_rng(4)
+    u8 = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    f = rng.random((24, 32, 3)).astype(np.float32)
+    mixed = [u8, f, u8, f]
+    grouped = pred.denoise_group(mixed, denoise_rate=1.0, zero_mask=False,
+                                 group_size=4)
+    singles = [pred(im, denoise_rate=1.0, zero_mask=False) for im in mixed]
+    for g, s in zip(grouped, singles):
+        _assert_within_one_level(g["hq"], s["hq"])
