@@ -42,6 +42,36 @@ import jax.numpy as jnp
 from ..ops.mask import frame_interpolation_corrupt, input_mask
 
 
+def _mesh_place(corpus, mesh, names) -> None:
+    """Replicate the HBM corpus arrays over a device mesh so batch
+    sampling can run SPMD (each device generates the rows of its own
+    batch shard — no post-sample reshard into the train step)."""
+    if mesh is None:
+        return
+    from ..parallel.mesh import replicated
+
+    for n in names:
+        setattr(corpus, n, jax.device_put(getattr(corpus, n),
+                                          replicated(mesh)))
+
+
+def _batch_out_shardings(mesh, batch: int, tree_example):
+    """'data'-sharded output specs for a sampled batch (replicated when
+    the stage batch does not divide the data axis, e.g. b1 stages)."""
+    if mesh is None:
+        return None
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS
+
+    n = mesh.shape[DATA_AXIS]
+    def spec(x):
+        if batch % n == 0:
+            return NamedSharding(mesh, P(DATA_AXIS))
+        return NamedSharding(mesh, P())
+    return jax.tree.map(spec, tree_example)
+
+
 def _augment8(img: jnp.ndarray, mode: jnp.ndarray) -> jnp.ndarray:
     """The host pipeline's 8 flip/rot90 modes (data/transforms.py:67-87)
     on a (..., H, W) tensor with square H=W, traced mode scalar."""
@@ -65,9 +95,11 @@ class StudentDeviceCorpus:
     batches on device. Frames are padded host-side (reflect, bottom/right
     — pad_to_min_size semantics) to one common (H, W) at build time."""
 
-    def __init__(self, opt: dict, min_size: int | None = None):
+    def __init__(self, opt: dict, min_size: int | None = None,
+                 mesh=None):
         from ..data.datasets import PairedMultiImageDataset
 
+        self.mesh = mesh
         self.opt = dict(opt)
         self.num_pairs = opt.get("num_pairs", 7)
         self.base_prob = float(opt.get("prob", 0.0))
@@ -118,6 +150,7 @@ class StudentDeviceCorpus:
         self.frame_hw = (th, tw)
         self.lq = jnp.asarray(np.stack([pad(f) for f in lq_frames]))
         self.gt = jnp.asarray(np.stack([pad(f) for f in gt_frames]))
+        _mesh_place(self, mesh, ("lq", "gt"))
         self._set_groups()
         self._sample_cache: dict[tuple, callable] = {}
 
@@ -177,14 +210,14 @@ class StudentDeviceCorpus:
         return lq, gt
 
     def _build_sampler(self, batch: int, gt_size: int):
-        @functools.partial(jax.jit, static_argnums=())
         def sample(key, group_ids, groups, prob):
             keys = jax.random.split(key, batch)
             return jax.vmap(
                 lambda k, gid: self._sample_one(k, groups[gid], gt_size,
                                                 prob))(keys, group_ids)
 
-        return sample
+        out = _batch_out_shardings(self.mesh, batch, (0, 0))
+        return jax.jit(sample, out_shardings=out)
 
     def sample_batch(self, key: jax.Array, group_ids: Sequence[int],
                      gt_size: int | None = None,
@@ -228,11 +261,13 @@ class TeacherDeviceCorpus:
     host Generators; distributions match — tests/test_device_corpus.py).
     """
 
-    def __init__(self, opt: dict, min_size: int | None = None):
+    def __init__(self, opt: dict, min_size: int | None = None,
+                 mesh=None):
         from ..data.datasets import (SuperRestorationDataset,
                                      SuperRestorationParamDataset,
                                      _reflect101_pad_to)
 
+        self.mesh = mesh
         self.opt = dict(opt)
         dstype = opt.get("type", "Dataset_SuperRestoration_param")
         cls = (SuperRestorationParamDataset
@@ -297,6 +332,8 @@ class TeacherDeviceCorpus:
         self.rates = jnp.asarray(np.asarray(rates, np.float32))
         self.eff_h = jnp.asarray(np.asarray(eff_h, np.int32))
         self.eff_w = jnp.asarray(np.asarray(eff_w, np.int32))
+        _mesh_place(self, mesh,
+                    ("lq", "gt", "sr", "rates", "eff_h", "eff_w"))
         self._sample_cache: dict[tuple, callable] = {}
 
     def describe(self) -> str:
@@ -365,13 +402,15 @@ class TeacherDeviceCorpus:
         return ({"img": lq, "denoise_rate": plane}, {"hq": gt, "sr": sr})
 
     def _build_sampler(self, batch: int, gt_size: int):
-        @jax.jit
         def sample(key, ids):
             keys = jax.random.split(key, batch)
             return jax.vmap(
                 lambda k, i: self._sample_one(k, i, gt_size))(keys, ids)
 
-        return sample
+        out = _batch_out_shardings(
+            self.mesh, batch,
+            ({"img": 0, "denoise_rate": 0}, {"hq": 0, "sr": 0}))
+        return jax.jit(sample, out_shardings=out)
 
     def sample_batch(self, key: jax.Array, ids: Sequence[int],
                      gt_size: int | None = None, prob=None):

@@ -280,13 +280,16 @@ def train_from_config(opt: dict, mesh=None, max_iters: int | None = None,
         from .device_corpus import StudentDeviceCorpus, TeacherDeviceCorpus
 
         dstype = ds_opt.get("type")
+        # the trainer's mesh makes sampling SPMD on multi-device hosts:
+        # the corpus replicates over the mesh and each device generates
+        # its own 'data'-shard of the batch (no post-sample reshard)
         if dstype == "Dataset_PairedMutiImage":
-            corpus = StudentDeviceCorpus(ds_opt)
+            corpus = StudentDeviceCorpus(ds_opt, mesh=trainer.mesh)
             desc = (f"{int(corpus.lq.shape[0])} frames at "
                     f"{corpus.frame_hw}, {len(corpus)} groups in HBM")
         elif dstype in ("Dataset_SuperRestoration_param",
                         "Dataset_SuperRestoration"):
-            corpus = TeacherDeviceCorpus(ds_opt)
+            corpus = TeacherDeviceCorpus(ds_opt, mesh=trainer.mesh)
             desc = corpus.describe()
         else:
             raise NotImplementedError(

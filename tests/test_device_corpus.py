@@ -357,3 +357,46 @@ def test_train_from_config_teacher_device_resident(teacher_root, tmp_path):
     assert int(state.step) == 4
     flat = jax.tree.leaves(jax.device_get(state.params))
     assert all(np.all(np.isfinite(np.asarray(x))) for x in flat)
+
+
+def test_mesh_sharded_sampling_matches_unmeshed(corpus_root, teacher_root):
+    """With a data-parallel mesh, batch generation runs SPMD (outputs
+    'data'-sharded) and produces the SAME values as the meshless corpus
+    for the same key."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rethink_acoustic_image_enhancement_tpu.parallel.mesh import (
+        DATA_AXIS,
+        make_mesh,
+    )
+    from rethink_acoustic_image_enhancement_tpu.train.device_corpus import (
+        StudentDeviceCorpus,
+        TeacherDeviceCorpus,
+    )
+
+    mesh = make_mesh(n_data=8, n_spatial=1)
+    key = jax.random.PRNGKey(42)
+
+    c0 = StudentDeviceCorpus(_opt(corpus_root))
+    cm = StudentDeviceCorpus(_opt(corpus_root), mesh=mesh)
+    ids = list(range(8))
+    lq0, gt0 = c0.sample_batch(key, ids, gt_size=32)
+    lqm, gtm = cm.sample_batch(key, ids, gt_size=32)
+    np.testing.assert_array_equal(np.asarray(lq0), np.asarray(lqm))
+    np.testing.assert_array_equal(np.asarray(gt0), np.asarray(gtm))
+    assert lqm.sharding.is_equivalent_to(
+        NamedSharding(mesh, P(DATA_AXIS)), lqm.ndim)
+
+    # non-divisible stage batch (b3 on 8 devices) falls back to replicated
+    lq3, _ = cm.sample_batch(jax.random.PRNGKey(1), [0, 1, 2], gt_size=32)
+    assert lq3.sharding.is_equivalent_to(NamedSharding(mesh, P()), lq3.ndim)
+
+    t0 = TeacherDeviceCorpus(_teacher_opt(teacher_root))
+    tm = TeacherDeviceCorpus(_teacher_opt(teacher_root), mesh=mesh)
+    l0, g0 = t0.sample_batch(key, [0, 1, 2, 3] * 2, gt_size=24)
+    lm, gm = tm.sample_batch(key, [0, 1, 2, 3] * 2, gt_size=24)
+    np.testing.assert_array_equal(np.asarray(l0["img"]),
+                                  np.asarray(lm["img"]))
+    np.testing.assert_array_equal(np.asarray(g0["sr"]), np.asarray(gm["sr"]))
+    assert lm["img"].sharding.is_equivalent_to(
+        NamedSharding(mesh, P(DATA_AXIS)), lm["img"].ndim)
