@@ -341,7 +341,14 @@ def _cmd_score(args) -> int:
         from .train.checkpoints import load_weights
 
         restored = load_weights(args.weights, None)
-        params, batch_stats = restored["params"], restored["batch_stats"]
+        # train-asdqe saves save_weights(dir, step, {'params', 'batch_stats'}),
+        # which lands nested under the payload's 'params' key; accept both
+        # that layout and a flat {'params', 'batch_stats'} payload.
+        inner = restored.get("params", restored)
+        if "batch_stats" in inner:
+            params, batch_stats = inner["params"], inner["batch_stats"]
+        else:
+            params, batch_stats = restored["params"], restored["batch_stats"]
     import jax.numpy as jnp
 
     scorer = ASDQEScorer(variables={

@@ -14,7 +14,7 @@ from typing import Mapping
 
 import numpy as np
 
-from ..utils.image_io import imread_rgb
+from ..utils.image_io import imread_rgb_ubyte
 from .infer import ASDQEScorer
 
 STAT_KEYS = ("mean", "std", "min", "25%", "50%", "75%", "max")
@@ -55,8 +55,11 @@ def score_method(scorer: ASDQEScorer, lq_dir: str, method_dir: str,
     each pair is its own forward; identical sizes reuse the jit cache)."""
     preds = []
     for lq_path, gt_path in paired_files(lq_dir, method_dir):
-        lq = imread_rgb(lq_path)
-        gt = imread_rgb(gt_path)
+        # uint8 boundary: 4x less H2D; the scorer's in-jit f32 /255
+        # reproduces imread_rgb's values exactly, so fp32 scores are
+        # bit-identical (the BASELINE parity contract is untouched)
+        lq = imread_rgb_ubyte(lq_path)
+        gt = imread_rgb_ubyte(gt_path)
         preds.append(scorer(lq, gt)[0])
     return np.asarray(preds, np.float64)
 

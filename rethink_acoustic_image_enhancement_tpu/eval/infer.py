@@ -369,16 +369,27 @@ class StudentPredictor:
         self._apply = jax.jit(self._forward)
 
     def _forward(self, params, stack):
+        if stack.dtype == jnp.uint8:
+            # uint8 boundary, same contract as TeacherPredictor._forward:
+            # f32 /255 first, then cast — the model input is bit-identical
+            # to the float boundary in every serving dtype
+            stack = (stack.astype(jnp.float32) / 255.0).astype(self.dtype)
         out = self.model.apply({"params": params}, stack)
         return _to_ubyte_device(out)
 
+    def _ship(self, x: np.ndarray):
+        if x.dtype == np.uint8:
+            return jnp.asarray(x)
+        return jnp.asarray(x.astype(np.float32), self.dtype)
+
     def __call__(self, stack: np.ndarray) -> np.ndarray:
-        """stack: (F, H, W) float32 [0,1]. Returns (F, H, W) uint8."""
+        """stack: (F, H, W) float32 [0,1] or uint8. Returns (F, H, W)
+        uint8. uint8 stacks ship 1 byte/px and convert in-jit."""
         f, h, w = stack.shape
         m = self.multiple_of
         ph, pw = _round_up(h, m) - h, _round_up(w, m) - w
-        x = _pad_reflect_np(stack[None], ph, pw, axes=(2, 3)).astype(np.float32)
-        out = self._apply(self.params, jnp.asarray(x, self.dtype))
+        x = _pad_reflect_np(stack[None], ph, pw, axes=(2, 3))
+        out = self._apply(self.params, self._ship(x))
         return np.asarray(out[0, :, :h, :w])
 
     def denoise_batch(self, stacks: np.ndarray) -> np.ndarray:
@@ -389,8 +400,8 @@ class StudentPredictor:
         b, f, h, w = stacks.shape
         m = self.multiple_of
         ph, pw = _round_up(h, m) - h, _round_up(w, m) - w
-        x = _pad_reflect_np(stacks, ph, pw, axes=(2, 3)).astype(np.float32)
-        out = self._apply(self.params, jnp.asarray(x, self.dtype))
+        x = _pad_reflect_np(stacks, ph, pw, axes=(2, 3))
+        out = self._apply(self.params, self._ship(x))
         return np.asarray(out[:, :, :h, :w])
 
     def load_stack(self, folder: str, start: int = 0) -> np.ndarray:
@@ -403,14 +414,23 @@ class StudentPredictor:
         seq = files[start:start + self.num_frames]
         frames = []
         target = None
+        resized = False
         for p in seq:
             img = imread_gray(p)
             if target is None:
                 target = (img.shape[1], img.shape[0])
             elif (img.shape[1], img.shape[0]) != target:
                 img = resize_area(img, *target)
+                resized = True
             frames.append(img)
-        return np.stack(frames, axis=0)
+        stack = np.stack(frames, axis=0)
+        if not resized:
+            # uniform-size sequence: the decoded floats are exact uint8/255,
+            # so re-quantizing is lossless and the stack ships at 1 byte/px
+            # (__call__ converts in-jit; resized frames stay float — their
+            # INTER_AREA values are not uint8-exact)
+            stack = np.rint(stack * 255.0).astype(np.uint8)
+        return stack
 
     def denoise_folder(self, folder: str, start: int = 0) -> np.ndarray:
         return self(self.load_stack(folder, start))
@@ -433,15 +453,21 @@ class ASDQEScorer:
         self._apply = jax.jit(self._forward)
 
     def _forward(self, variables, lq, gt):
+        if lq.dtype == jnp.uint8:  # uint8 boundary (see TeacherPredictor)
+            lq = (lq.astype(jnp.float32) / 255.0).astype(self.dtype)
+        if gt.dtype == jnp.uint8:
+            gt = (gt.astype(jnp.float32) / 255.0).astype(self.dtype)
         if self.dtype == jnp.float32:
             with jax.default_matmul_precision("highest"):
                 return self.model.apply(variables, lq, gt)
         return self.model.apply(variables, lq, gt)
 
     def __call__(self, lq: np.ndarray, gt: np.ndarray) -> np.ndarray:
-        """lq/gt: (H, W, 3) or (B, H, W, 3) float32 [0,1]; returns (B,)."""
+        """lq/gt: (H, W, 3) or (B, H, W, 3), float32 [0,1] or uint8
+        (1 byte/px H2D, in-jit /255 — exact in fp32); returns (B,)."""
         if lq.ndim == 3:
             lq, gt = lq[None], gt[None]
-        scores = self._apply(self.variables, jnp.asarray(lq, self.dtype),
-                             jnp.asarray(gt, self.dtype))
+        ship = lambda x: (jnp.asarray(x) if x.dtype == np.uint8
+                          else jnp.asarray(x, self.dtype))
+        scores = self._apply(self.variables, ship(lq), ship(gt))
         return np.asarray(scores).reshape(-1)

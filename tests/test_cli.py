@@ -91,6 +91,15 @@ def test_train_asdqe_cli(tmp_path):
                  "--max-steps-per-epoch", "2"]) == 0
     assert os.listdir(out)  # best/latest checkpoints written
 
+    # the train-asdqe -> score handoff: the orbax checkpoint written above
+    # must load through `raie score` (regression: the nested
+    # {'params': {'params', 'batch_stats'}} payload raised KeyError)
+    csv = tmp_path / "stats.csv"
+    assert main(["score", "--weights", str(out / "net_g_best"),
+                 "--lq-dir", str(lq), "--methods", f"origin={lq}",
+                 f"gtish={gt}", "--csv", str(csv)]) == 0
+    assert csv.read_text().strip().splitlines()[0] == ",origin,gtish"
+
 
 def test_infer_teacher_cli_group_mode(tmp_path):
     """infer-teacher --group-size scans same-shape images through one

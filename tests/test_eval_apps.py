@@ -248,3 +248,45 @@ def test_uint8_mixed_dtype_group_is_consistent():
     singles = [pred(im, denoise_rate=1.0, zero_mask=False) for im in mixed]
     for g, s in zip(grouped, singles):
         _assert_within_one_level(g["hq"], s["hq"])
+
+
+def test_student_uint8_stack_boundary():
+    """Student stacks in uint8 ship 1 byte/px; outputs agree with the
+    float boundary to <=1 level; load_stack emits uint8 for uniform-size
+    sequences and float when a frame was resized."""
+    from rethink_acoustic_image_enhancement_tpu.eval.infer import (
+        StudentPredictor,
+    )
+
+    model = KDLAEStudent(residual=True, hidden_channels=(4, 8))
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 7, 32, 32)))["params"]
+    pred = StudentPredictor(params=params, model=model)
+    rng = np.random.default_rng(5)
+    u8 = rng.integers(0, 256, (7, 32, 32), dtype=np.uint8)
+    f = u8.astype(np.float32) / 255.0
+    _assert_within_one_level(pred(u8), pred(f))
+    _assert_within_one_level(pred.denoise_batch(u8[None])[0],
+                             pred.denoise_batch(f[None])[0])
+
+
+def test_asdqe_scorer_uint8_boundary_score_parity():
+    """ASDQE fp32 scoring through the uint8 boundary matches the float
+    boundary to the BASELINE parity tolerance (in-jit f32 /255 is
+    value-exact; only fusion-order ulps remain)."""
+    from rethink_acoustic_image_enhancement_tpu.eval.infer import ASDQEScorer
+    from rethink_acoustic_image_enhancement_tpu.models import (
+        DenoiseRatePredictor,
+    )
+
+    model = DenoiseRatePredictor(dim=4)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, 3)),
+                           jnp.zeros((1, 32, 32, 3)))
+    scorer = ASDQEScorer(variables=variables, model=model)
+    rng = np.random.default_rng(6)
+    lq = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    gt = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    s_u8 = scorer(lq, gt)
+    s_f = scorer(lq.astype(np.float32) / 255.0, gt.astype(np.float32) / 255.0)
+    np.testing.assert_allclose(s_u8, s_f, atol=2e-6)
