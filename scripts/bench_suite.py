@@ -159,6 +159,24 @@ def main():
         best = min(_timeit(fn) for _ in range(3))
         results[f"kdlae_t_512_serve_e2e_{tag}_img_per_s"] = 32 / best
 
+    # ---- student end-to-end host serving: H2D + dispatch + uint8 D2H.
+    # The uint8 stack boundary (round 3) ships 1 B/px instead of 4 —
+    # on a tunnel-attached chip the fp32 b32 7x256px upload alone is
+    # ~59 MB (~1.5 s at 38 MB/s), so the boundary dominates e2e.
+    from rethink_acoustic_image_enhancement_tpu.eval.infer import (
+        StudentPredictor,
+    )
+
+    sp = jax.tree.map(lambda v: v.astype(jnp.bfloat16), s_params)
+    spred = StudentPredictor(params=sp, model=sm, dtype=jnp.bfloat16)
+    stacks_f = rng.random((32, 7, 256, 256)).astype(np.float32)
+    stacks_u8 = np.rint(stacks_f * 255.0).astype(np.uint8)
+    spred.denoise_batch(stacks_f), spred.denoise_batch(stacks_u8)  # compile
+    for tag, x in (("f32", stacks_f), ("u8", stacks_u8)):
+        best = min(_timeit(lambda: spred.denoise_batch(x)) for _ in range(3))
+        results[f"kdlae_s_256_b32_serve_e2e_{tag}_frames_per_s"] = (
+            32 * 7 / best)
+
     # ---- ASDQE 512px pair scoring
     am = DenoiseRatePredictor()
     variables = jax.jit(lambda: am.init(jax.random.PRNGKey(0),
