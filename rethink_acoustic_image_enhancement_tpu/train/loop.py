@@ -97,12 +97,36 @@ def build_everything(opt: dict, mesh=None):
     except KeyError:
         raise KeyError(f"train.compute_dtype {dtype_key!r} not one of "
                        "float32/bfloat16/float16") from None
+    # `train.spatial_shard: N` shards image rows over a 'spatial' mesh
+    # axis inside the train step (CP analog, SURVEY §5.7) — the only way
+    # to parallelize the teacher's batch-1 curriculum stages on a pod.
+    n_spatial = int(train_opt.get("spatial_shard", 1) or 1)
+    spatial_axis = None
+    if n_spatial > 1:
+        # XLA's SPMD conv gradients require >= 1 row per shard at the
+        # deepest feature map (measured: over-sharding the latent level
+        # silently zeroes dwconv grads). Teacher U-Net downsamples 8x,
+        # student 4x; the binding size is the SMALLEST curriculum crop.
+        down = 4 if net_type == "KDLAE_student" else 8
+        sizes = ds_opt.get("gt_sizes") or [ds_opt.get("gt_size", 0)]
+        min_h = min(int(s) for s in sizes if s) // down
+        if min_h and min_h < n_spatial:
+            raise ValueError(
+                f"train.spatial_shard={n_spatial} over-shards the deepest "
+                f"feature map ({min_h} rows at the smallest curriculum "
+                f"crop): need spatial_shard <= {min_h}")
+        if mesh is None:
+            from ..parallel.mesh import make_mesh
+
+            mesh = make_mesh(n_spatial=n_spatial)
+        spatial_axis = 2 if net_type == "KDLAE_student" else 1
     trainer = Trainer(
         apply_fn=lambda p, lq: model.apply({"params": p}, lq),
         loss_fn=loss_fn,
         optimizer=build_optimizer(train_opt, schedule, params=params),
         schedule=schedule,
         mesh=mesh,
+        spatial_axis=spatial_axis,
         ema_decay=train_opt.get("ema_decay", 0.0),
         mixup=mix.get("mixup", False),
         mixup_beta=mix.get("mixup_beta", 1.2),

@@ -29,7 +29,7 @@ import optax
 from flax import struct
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..parallel.mesh import DATA_AXIS, make_mesh
+from ..parallel.mesh import DATA_AXIS, SPATIAL_AXIS, make_mesh
 from .mixup import mixing_augment
 from .progressive import stage_crop, stage_extra_mask
 from .schedules import Schedule, build_schedule
@@ -130,6 +130,13 @@ class Trainer:
     gt_size: int = 0  # dataset-level max patch (0 = no progressive crop)
     loss_takes_rng: bool = False
     compute_dtype: Any = None  # e.g. jnp.bfloat16 for bf16 activations
+    # shard image rows over the mesh 'spatial' axis IN TRAINING (the CP
+    # analog from SURVEY §5.7 applied to the train step, not just serving).
+    # This is what parallelizes the teacher's batch-1 curriculum stages
+    # (KDLAET.yml mini_batch_sizes tail [1,1,1]) across a pod — pure data
+    # parallelism cannot split batch 1. Axis index of H in the batch
+    # leaves: 1 for NHWC teacher tensors, 2 for (B,F,H,W) student stacks.
+    spatial_axis: int | None = None
 
     def __post_init__(self):
         if self.mesh is None:
@@ -138,6 +145,13 @@ class Trainer:
         shard = NamedSharding(self.mesh, P(DATA_AXIS))
         self._state_sharding = repl
         self._batch_spec = shard
+        self._n_spatial = dict(self.mesh.shape).get(SPATIAL_AXIS, 1)
+        if self.spatial_axis is not None and self._n_spatial > 1:
+            spec = [None] * (self.spatial_axis + 1)
+            spec[0], spec[self.spatial_axis] = DATA_AXIS, SPATIAL_AXIS
+            self._spatial_spec = NamedSharding(self.mesh, P(*spec))
+        else:
+            self._spatial_spec = None
         self._jit_cache: dict[tuple, Callable] = {}
 
     # ------------------------------------------------------------- state --
@@ -233,11 +247,15 @@ class Trainer:
 
     def _shard_like(self, tree):
         n = self.mesh.shape[DATA_AXIS]
+        ax, ns = self.spatial_axis, self._n_spatial
 
         def spec(x):
             if x is None:
                 return None
             if hasattr(x, "shape") and len(x.shape) >= 1 and x.shape[0] % n == 0:
+                if (self._spatial_spec is not None and len(x.shape) > ax
+                        and x.shape[ax] % ns == 0):
+                    return self._spatial_spec
                 return self._batch_spec
             return self._state_sharding
 
