@@ -51,6 +51,8 @@ def _cmd_train(args) -> int:
     # none is passed (trainer.py) — surface that so the user sees it
     elif jax.device_count() > 1:
         print(f"data-parallel mesh over {jax.device_count()} devices")
+    if args.stall_timeout:
+        opt["train"]["stall_timeout_s"] = args.stall_timeout
     train_from_config(opt, max_iters=args.max_iters,
                       profile_steps=args.profile_steps)
     return 0
@@ -416,6 +418,12 @@ def main(argv=None) -> int:
                    help="coordinator host:port (e.g. host0:29500)")
     p.add_argument("--num-processes", type=int, default=None)
     p.add_argument("--process-id", type=int, default=None)
+    p.add_argument("--stall-timeout", type=float, default=0,
+                   help="hard-exit (code 17) when no training iteration "
+                        "completes for N seconds — a wedged accelerator "
+                        "client blocks in C and cannot raise; a segment "
+                        "supervisor relaunches into auto-resume. Size "
+                        "above the worst compile+validation gap.")
     p.set_defaults(fn=_cmd_train)
 
     p = sub.add_parser("train-asdqe", help="ASDQE quality-scorer training")

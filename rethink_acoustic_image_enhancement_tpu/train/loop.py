@@ -442,6 +442,18 @@ def train_from_config(opt: dict, mesh=None, max_iters: int | None = None,
         _prefetch_iter[0] = current_iter  # re-sync the stage counter
         return DevicePrefetcher(iter(loader), put=_put)
 
+    # stall watchdog (train.stall_timeout_s): a wedged accelerator client
+    # blocks the main thread in C forever (observed: stale tunnel claim);
+    # the daemon thread hard-exits so a segment supervisor can relaunch
+    # into auto-resume. Size the timeout above the worst first-compile +
+    # validation gap (remote compiles are minutes on this platform).
+    watchdog = None
+    stall_s = opt["train"].get("stall_timeout_s")
+    if stall_s:
+        from ..utils.watchdog import StallWatchdog
+
+        watchdog = StallWatchdog(float(stall_s)).start()
+
     t_data = time.time()
     while current_iter < total_iters:
         for batch in epoch_batches(epoch):
@@ -514,6 +526,8 @@ def train_from_config(opt: dict, mesh=None, max_iters: int | None = None,
                         f"{k}={v:.1f}" for k, v in list(agg.items())[:8]))
             iter_time = time.time() - t_data
             t_data = time.time()
+            if watchdog is not None:
+                watchdog.beat()
 
             if current_iter % print_freq == 0:
                 msg_logger(epoch, current_iter,
@@ -548,8 +562,12 @@ def train_from_config(opt: dict, mesh=None, max_iters: int | None = None,
                         msg_logger.jsonl.write("val", current_iter, scores)
                     log(f"validation @ {current_iter}: " + ", ".join(
                         f"{k}={v:.4f}" for k, v in scores.items()))
+                if watchdog is not None:  # validation is a legitimate gap
+                    watchdog.beat()
         epoch += 1
 
+    if watchdog is not None:
+        watchdog.stop()
     if profiling_now:  # run ended inside the profile window
         jax.profiler.stop_trace()
 

@@ -73,6 +73,10 @@ def _student_config(tmp_path) -> dict:
             "total_iter": 12,
             "warmup_iter": 2,
             "use_grad_clip": True,
+            # exercises the stall-watchdog wiring (generous timeout: the
+            # smoke must never trip it; the trip path is unit-tested in
+            # test_watchdog.py)
+            "stall_timeout_s": 600,
             "scheduler": {"type": "CosineAnnealingRestartCyclicLR",
                           "periods": [6, 6], "restart_weights": [1, 1],
                           "eta_mins": [0.0003, 0.000001]},
