@@ -45,7 +45,31 @@ WARMUP = 2
 ITERS = 3  # dispatches; total images = SCAN_IMAGES * ITERS
 
 
+def _backend_answers(timeout_s: float = 120.0) -> bool:
+    """Probe the accelerator backend in a throwaway subprocess. The
+    tunnel-attached client can wedge at claim time (stale device claim),
+    blocking jax.devices() forever — better to fail fast with a clear
+    message than hang the caller (same guard as __graft_entry__)."""
+    import subprocess
+    import sys
+
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices(); print('ok')"],
+            capture_output=True, text=True, timeout=timeout_s)
+        return out.returncode == 0 and "ok" in out.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
+    if not _backend_answers():
+        import sys
+
+        print("bench.py: accelerator backend did not answer the probe "
+              "(wedged tunnel claim?) — refusing to hang", file=sys.stderr)
+        raise SystemExit(1)
+
     from rethink_acoustic_image_enhancement_tpu.models import flagship_teacher
 
     model = flagship_teacher(static="test")
