@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 from jax.nn import gelu
@@ -209,23 +210,80 @@ class OverlapPatchEmbed(nn.Module):
 
 class Downsample(nn.Module):
     """3x3 conv C->C/2 then PixelUnshuffle(2): net C->2C, H/2
-    (KDLAE/KDLAE_model.py:182-190)."""
+    (KDLAE/KDLAE_model.py:182-190).
+
+    ``fused=True`` folds the unshuffle into the conv itself: a stride-2
+    4x4 conv whose kernel embeds the 3x3 weights at the four spatial
+    phases. Mathematically identical taps (the same zero padding the
+    stride-1 conv saw), same parameter tree (``conv/kernel``), but the
+    intermediate HxWx(C/2) tensor and its pixel-unshuffle data-formatting
+    pass never materialize in HBM. Opt-in pending an on-chip end-to-end
+    win (see docs/perf_plan.md: every previous local rewrite lost to
+    XLA's global layout assignment).
+    """
 
     n_feat: int
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Conv(self.n_feat // 2, (3, 3), padding=1, use_bias=False, name="conv")(x)
-        return pixel_unshuffle(x, 2)
+        conv = nn.Conv(self.n_feat // 2, (3, 3), padding=1, use_bias=False,
+                       name="conv")
+        if not self.fused or self.is_initializing():
+            return pixel_unshuffle(conv(x), 2)
+        w3 = self.variables["params"]["conv"]["kernel"]  # (3, 3, C, C//2)
+        c = x.shape[-1]
+        f = self.n_feat // 2
+        # w4[ky, kx, c, f, i, j] = w3[ky-i, kx-j, c, f]; out channel f*4+i*2+j
+        # matches pixel_unshuffle's torch channel order.
+        w4 = jnp.zeros((4, 4, c, f, 2, 2), w3.dtype)
+        for i in (0, 1):
+            for j in (0, 1):
+                w4 = w4.at[i:i + 3, j:j + 3, :, :, i, j].set(w3)
+        w4 = w4.reshape(4, 4, c, f * 4).astype(x.dtype)
+        return jax.lax.conv_general_dilated(
+            x, w4, window_strides=(2, 2), padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 class Upsample(nn.Module):
     """3x3 conv C->2C then PixelShuffle(2): net C->C/2, 2H
-    (KDLAE/KDLAE_model.py:192-200)."""
+    (KDLAE/KDLAE_model.py:192-200).
+
+    ``fused=True`` folds the shuffle into the conv: the sub-pixel conv is
+    rewritten as one input-dilated (fractionally-strided) 6x6 conv whose
+    kernel scatters the 3x3 weights by output phase — the standard
+    sub-pixel-conv == transposed-conv identity. Same taps, same parameter
+    tree; the low-res HxWx2C intermediate and the pixel-shuffle pass are
+    never written to HBM. Opt-in (see Downsample.fused).
+    """
 
     n_feat: int
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Conv(self.n_feat * 2, (3, 3), padding=1, use_bias=False, name="conv")(x)
-        return pixel_shuffle(x, 2)
+        conv = nn.Conv(self.n_feat * 2, (3, 3), padding=1, use_bias=False,
+                       name="conv")
+        if not self.fused or self.is_initializing():
+            return pixel_shuffle(conv(x), 2)
+        w3 = self.variables["params"]["conv"]["kernel"]  # (3, 3, C, 2C)
+        c = x.shape[-1]
+        f = self.n_feat // 2
+        w3r = w3.reshape(3, 3, c, f, 2, 2)  # [dy, dx, c, f, i, j]
+        # out[2h+i, 2w+j, f] = sum_{dy,dx,c} x[h+dy-1, w+dx-1, c]
+        #                      * w3[dy, dx, c, f*4+i*2+j]
+        # As an lhs-dilated conv (dilate 2, pad 3, kernel 6), the tap index
+        # is t = 2*d - phase + 1; entries at the wrong parity only ever
+        # multiply dilation zeros.
+        w6 = jnp.zeros((6, 6, c, f), w3.dtype)
+        for dy in range(3):
+            for i in (0, 1):
+                for dx in range(3):
+                    for j in (0, 1):
+                        w6 = w6.at[2 * dy - i + 1, 2 * dx - j + 1].set(
+                            w3r[dy, dx, :, :, i, j])
+        return jax.lax.conv_general_dilated(
+            x, w6.astype(x.dtype), window_strides=(1, 1),
+            padding=((3, 3), (3, 3)), lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))

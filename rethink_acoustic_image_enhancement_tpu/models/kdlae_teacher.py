@@ -107,6 +107,7 @@ class KDLAETeacher(nn.Module):
     static: str = "train"  # 'train' enables the 2x SR branch
     params: str = "cat"  # 'cat' (denoise-rate conditioning) or 'none'
     fused: bool = False  # Pallas LN+GDFN kernels (serving path)
+    fused_resample: bool = False  # fold pixel-(un)shuffle into the convs
 
     def setup(self):
         if self.params not in ("cat", "none"):
@@ -126,22 +127,23 @@ class KDLAETeacher(nn.Module):
                 fused=self.fused,
             )
 
+        fr = self.fused_resample
         self.patch_embed = OverlapPatchEmbed(d, b)
         self.encoder_level1 = stage(d, self.heads[0], self.num_blocks[0])
-        self.down1_2 = Downsample(d)
+        self.down1_2 = Downsample(d, fused=fr)
         self.encoder_level2 = stage(d * 2, self.heads[1], self.num_blocks[1])
-        self.down2_3 = Downsample(d * 2)
+        self.down2_3 = Downsample(d * 2, fused=fr)
         self.encoder_level3 = stage(d * 4, self.heads[2], self.num_blocks[2])
-        self.down3_4 = Downsample(d * 4)
+        self.down3_4 = Downsample(d * 4, fused=fr)
         self.latent = stage(d * 8, self.heads[3], self.num_blocks[3])
 
-        self.up4_3 = Upsample(d * 8)
+        self.up4_3 = Upsample(d * 8, fused=fr)
         self.reduce_chan_level3 = nn.Conv(d * 4, (1, 1), use_bias=b)
         self.decoder_level3 = stage(d * 4, self.heads[2], self.num_blocks[2])
-        self.up3_2 = Upsample(d * 4)
+        self.up3_2 = Upsample(d * 4, fused=fr)
         self.reduce_chan_level2 = nn.Conv(d * 2, (1, 1), use_bias=b)
         self.decoder_level2 = stage(d * 2, self.heads[1], self.num_blocks[1])
-        self.up2_1 = Upsample(d * 2)
+        self.up2_1 = Upsample(d * 2, fused=fr)
         # level-1 decoder runs at 2*dim: skip concat, no channel reduce
         self.decoder_level1 = stage(d * 2, self.heads[0], self.num_blocks[0])
         self.refinement = stage(d * 2, self.heads[0], self.num_refinement_blocks)
@@ -162,7 +164,7 @@ class KDLAETeacher(nn.Module):
         if self.static == "train":
             hc = d * 2
             self.cen = nn.Conv(hc, (3, 3), padding=1, use_bias=b)
-            self.upen = Upsample(hc)
+            self.upen = Upsample(hc, fused=fr)
             self.enhance = stage(hc // 2, self.heads[0], self.num_refinement_blocks)
             self.outputen = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=b)
 

@@ -1,0 +1,75 @@
+"""Parity of the folded (fused) resamplers vs conv + pixel-(un)shuffle.
+
+``Downsample(fused=True)`` / ``Upsample(fused=True)`` rewrite the
+reference's conv-then-shuffle pairs (KDLAE/KDLAE_model.py:182-200) as a
+single strided / input-dilated conv with a phase-embedded kernel. The
+parameter tree is unchanged, so the same params must produce identical
+outputs in both modes, module-level and through the whole teacher.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rethink_acoustic_image_enhancement_tpu.models.blocks import (
+    Downsample,
+    Upsample,
+)
+from rethink_acoustic_image_enhancement_tpu.models.kdlae_teacher import (
+    KDLAETeacher,
+)
+
+
+@pytest.mark.parametrize("c,h,w", [(48, 16, 24), (96, 8, 8), (16, 32, 10)])
+def test_downsample_fused_parity(c, h, w):
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, h, w, c), jnp.float32)
+    ref = Downsample(n_feat=c)
+    params = ref.init(jax.random.PRNGKey(1), x)
+    y_ref = ref.apply(params, x)
+    y_fused = Downsample(n_feat=c, fused=True).apply(params, x)
+    assert y_fused.shape == y_ref.shape == (2, h // 2, w // 2, 2 * c)
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref),
+                               rtol=0, atol=1e-5)
+
+
+@pytest.mark.parametrize("c,h,w", [(96, 8, 12), (384, 4, 4), (32, 16, 5)])
+def test_upsample_fused_parity(c, h, w):
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, h, w, c), jnp.float32)
+    ref = Upsample(n_feat=c)
+    params = ref.init(jax.random.PRNGKey(3), x)
+    y_ref = ref.apply(params, x)
+    y_fused = Upsample(n_feat=c, fused=True).apply(params, x)
+    assert y_fused.shape == y_ref.shape == (2, 2 * h, 2 * w, c // 2)
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_ref),
+                               rtol=0, atol=1e-5)
+
+
+def test_fused_init_param_tree_identical():
+    x = jax.random.normal(jax.random.PRNGKey(4), (1, 8, 8, 48), jnp.float32)
+    p_plain = Downsample(n_feat=48).init(jax.random.PRNGKey(5), x)
+    p_fused = Downsample(n_feat=48, fused=True).init(jax.random.PRNGKey(5), x)
+    assert jax.tree_util.tree_structure(p_plain) == \
+        jax.tree_util.tree_structure(p_fused)
+    for a, b in zip(jax.tree_util.tree_leaves(p_plain),
+                    jax.tree_util.tree_leaves(p_fused)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_teacher_fused_resample_parity():
+    model = KDLAETeacher(dim=16, num_blocks=(1, 1, 1, 1),
+                         num_refinement_blocks=1, heads=(1, 2, 4, 8),
+                         static="train", params="cat")
+    fused = model.clone(fused_resample=True)
+    inputs = {
+        "img": jax.random.uniform(jax.random.PRNGKey(6), (1, 16, 16, 3)),
+        "denoise_rate": jnp.full((1, 16, 16, 1), 0.6, jnp.float32),
+    }
+    params = model.init(jax.random.PRNGKey(7), inputs)
+    y_ref = model.apply(params, inputs)
+    y_fused = fused.apply(params, inputs)
+    np.testing.assert_allclose(np.asarray(y_fused["hq"]),
+                               np.asarray(y_ref["hq"]), rtol=0, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(y_fused["sr"]),
+                               np.asarray(y_ref["sr"]), rtol=0, atol=2e-5)
