@@ -84,8 +84,14 @@ class TeacherPredictor:
     # rounded up to multiple_of * n_spatial, and any extra padding rows
     # shift the global-MDTA statistics exactly like shape_bucket does.
     mesh: Any = None
+    # Serve with the folded resamplers (models/blocks.py Downsample /
+    # Upsample fused=True): same params, same math, one strided/dilated
+    # conv per resampler instead of conv + pixel-(un)shuffle formatting.
+    fused_resample: bool = False
 
     def __post_init__(self):
+        if self.fused_resample:
+            self.model = self.model.clone(fused_resample=True)
         if self.shape_bucket and self.shape_bucket % self.multiple_of:
             # a bucket that isn't a multiple of the model's pad unit would
             # replace it in padding and feed the pixel-unshuffle stages a

@@ -27,6 +27,11 @@ _KEYMAP_TEACHER = {
     "dual_pixel_task": "dual_pixel_task",
     "static": "static",
     "params": "params",
+    # TPU-native extension (no reference analog): fold the conv +
+    # pixel-(un)shuffle resamplers into single strided/dilated convs
+    # (models/blocks.py Downsample/Upsample docstrings). Honored, not
+    # cosmetic: it changes the compiled program, never the math.
+    "fused_resample": "fused_resample",
 }
 
 REGISTRY = {

@@ -224,11 +224,13 @@ class Restormer(nn.Module):
     use_bias: bool = False
     layernorm_type: str = "WithBias"
     dual_pixel_task: bool = False
+    fused_resample: bool = False  # fold pixel-(un)shuffle into the convs
 
     @nn.compact
     def __call__(self, inp_img: jnp.ndarray) -> jnp.ndarray:
         bf = self.layernorm_type == "BiasFree"
         d, ff, b = self.dim, self.ffn_expansion_factor, self.use_bias
+        fr = self.fused_resample
 
         def stage(dim, heads, blocks, name):
             return TransformerStage(
@@ -239,21 +241,21 @@ class Restormer(nn.Module):
         x1 = OverlapPatchEmbed(d, b, name="patch_embed")(inp_img)
         e1 = stage(d, self.heads[0], self.num_blocks[0], "encoder_level1")(x1)
         e2 = stage(d * 2, self.heads[1], self.num_blocks[1], "encoder_level2")(
-            Downsample(d, name="down1_2")(e1))
+            Downsample(d, fused=fr, name="down1_2")(e1))
         e3 = stage(d * 4, self.heads[2], self.num_blocks[2], "encoder_level3")(
-            Downsample(d * 2, name="down2_3")(e2))
+            Downsample(d * 2, fused=fr, name="down2_3")(e2))
         latent = stage(d * 8, self.heads[3], self.num_blocks[3], "latent")(
-            Downsample(d * 4, name="down3_4")(e3))
+            Downsample(d * 4, fused=fr, name="down3_4")(e3))
 
-        d3 = Upsample(d * 8, name="up4_3")(latent)
+        d3 = Upsample(d * 8, fused=fr, name="up4_3")(latent)
         d3 = nn.Conv(d * 4, (1, 1), use_bias=b, name="reduce_chan_level3")(
             jnp.concatenate([d3, e3], axis=-1))
         d3 = stage(d * 4, self.heads[2], self.num_blocks[2], "decoder_level3")(d3)
-        d2 = Upsample(d * 4, name="up3_2")(d3)
+        d2 = Upsample(d * 4, fused=fr, name="up3_2")(d3)
         d2 = nn.Conv(d * 2, (1, 1), use_bias=b, name="reduce_chan_level2")(
             jnp.concatenate([d2, e2], axis=-1))
         d2 = stage(d * 2, self.heads[1], self.num_blocks[1], "decoder_level2")(d2)
-        d1 = Upsample(d * 2, name="up2_1")(d2)
+        d1 = Upsample(d * 2, fused=fr, name="up2_1")(d2)
         d1 = stage(d * 2, self.heads[0], self.num_blocks[0], "decoder_level1")(
             jnp.concatenate([d1, e1], axis=-1))
         d1 = stage(d * 2, self.heads[0], self.num_refinement_blocks, "refinement")(d1)

@@ -57,6 +57,25 @@ def test_fused_init_param_tree_identical():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_config_reachable_and_restormer_parity():
+    """`network_g: {type: ..., fused_resample: true}` builds the fused
+    variant, and Restormer honors the flag with identical numerics."""
+    from rethink_acoustic_image_enhancement_tpu.models import build_network
+
+    m = build_network({"type": "KDLAE_teacher", "fused_resample": True})
+    assert m.fused_resample is True
+
+    cfg = dict(type="Restormer", dim=16, num_blocks=[1, 1, 1, 1],
+               num_refinement_blocks=1, heads=[1, 2, 4, 8])
+    plain = build_network(cfg)
+    fused = build_network({**cfg, "fused_resample": True})
+    x = jax.random.uniform(jax.random.PRNGKey(8), (1, 16, 16, 3))
+    params = plain.init(jax.random.PRNGKey(9), x)
+    np.testing.assert_allclose(np.asarray(fused.apply(params, x)),
+                               np.asarray(plain.apply(params, x)),
+                               rtol=0, atol=2e-5)
+
+
 def test_teacher_fused_resample_parity():
     model = KDLAETeacher(dim=16, num_blocks=(1, 1, 1, 1),
                          num_refinement_blocks=1, heads=(1, 2, 4, 8),
