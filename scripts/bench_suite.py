@@ -50,12 +50,15 @@ def main():
     rng = np.random.default_rng(0)
 
     # ---- teacher
-    def teacher(static, dtype, batch=1, size=512, scan=0):
+    def teacher(static, dtype, batch=1, size=512, scan=0,
+                fused_resample=False):
         from rethink_acoustic_image_enhancement_tpu.models import (
             flagship_teacher,
         )
 
         m = flagship_teacher(static=static)
+        if fused_resample:
+            m = m.clone(fused_resample=True)
         params = jax.jit(lambda: m.init(
             jax.random.PRNGKey(0),
             {"img": jnp.zeros((1, 64, 64, 3)),
@@ -95,6 +98,8 @@ def main():
     results["kdlae_t_512_denoise_bf16"] = teacher("test", jnp.bfloat16)
     results["kdlae_t_512_denoise_bf16_scan8"] = teacher(
         "test", jnp.bfloat16, scan=8)
+    results["kdlae_t_512_denoise_bf16_scan8_fused_resample"] = teacher(
+        "test", jnp.bfloat16, scan=8, fused_resample=True)
     results["kdlae_t_512_denoise_fp32"] = teacher("test", jnp.float32)
     results["kdlae_t_512_denoise_sr_bf16"] = teacher("train", jnp.bfloat16)
     results["kdlae_t_512_denoise_sr_bf16_scan8"] = teacher(
