@@ -1,0 +1,56 @@
+"""Regenerate the shipped golden outputs of the in-repo trained weights.
+
+The reference ships `Sample/{MDD,CAMUS}/denoise/*` goldens produced by its
+released checkpoints (ASDQE/ASDQE_test.py:139-149); with zero egress those
+checkpoints are unreachable, so the rebuild ships its OWN trained weights
+(artifacts/kdlaes_full100k/weights — the completed 100k-iteration
+distillation run) and goldens produced from them. Run on CPU fp32 with
+matmul precision pinned (the tests/conftest.py settings) so the outputs
+are reproducible byte-for-byte on the test platform:
+
+    python scripts/make_goldens.py
+
+Writes artifacts/kdlaes_full100k/goldens/camus_XX.png; the regression test
+is tests/test_trained_goldens.py.
+"""
+
+import os
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WEIGHTS = os.path.join(REPO, "artifacts/kdlaes_full100k/weights/net_g_100000")
+OUT = os.path.join(REPO, "artifacts/kdlaes_full100k/goldens")
+FRAMES = "/root/reference/Sample/CAMUS/origin"
+
+
+def main() -> None:
+    import cv2
+
+    from rethink_acoustic_image_enhancement_tpu.eval.infer import (
+        StudentPredictor,
+    )
+    from rethink_acoustic_image_enhancement_tpu.models import KDLAEStudent
+    from rethink_acoustic_image_enhancement_tpu.train.checkpoints import (
+        load_weights,
+    )
+
+    params = load_weights(WEIGHTS)
+    pred = StudentPredictor(
+        params=params,
+        model=KDLAEStudent(residual=True, hidden_channels=(16, 32, 64)))
+    out = pred.denoise_folder(FRAMES, start=0)
+    os.makedirs(OUT, exist_ok=True)
+    for i in range(out.shape[0]):
+        cv2.imwrite(os.path.join(OUT, f"camus_{i:02d}.png"), out[i])
+    print(f"wrote {out.shape[0]} goldens to {OUT}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,81 @@
+"""Regression against the in-repo TRAINED weights and their goldens.
+
+The reference's de-facto regression fixtures are Sample/*/denoise goldens
+produced by its released checkpoints (ASDQE/ASDQE_test.py:139-149). Those
+checkpoints are unreachable offline, so the rebuild ships its own: the
+completed 100k-iteration KDLAE-S distillation run's final weights
+(artifacts/kdlaes_full100k/weights) plus goldens regenerable with
+scripts/make_goldens.py. Two claims are locked in:
+
+  * serving the trained weights reproduces the shipped goldens (drift in
+    model/serving code shows up here), and
+  * the from-scratch distillation actually learned the reference
+    pipeline: >= 30 dB PSNR against the reference's OWN released-weights
+    KDLAE-T goldens on CAMUS (raw input scores ~18.6 dB).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from tests.conftest import requires_reference
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WEIGHTS = os.path.join(REPO, "artifacts/kdlaes_full100k/weights/net_g_100000")
+GOLDENS = os.path.join(REPO, "artifacts/kdlaes_full100k/goldens")
+
+requires_weights = pytest.mark.skipif(
+    not os.path.isdir(WEIGHTS), reason="trained weights not in repo")
+
+
+@pytest.fixture(scope="module")
+def student_outputs():
+    from rethink_acoustic_image_enhancement_tpu.eval.infer import (
+        StudentPredictor,
+    )
+    from rethink_acoustic_image_enhancement_tpu.models import KDLAEStudent
+    from rethink_acoustic_image_enhancement_tpu.train.checkpoints import (
+        load_weights,
+    )
+
+    pred = StudentPredictor(
+        params=load_weights(WEIGHTS),
+        model=KDLAEStudent(residual=True, hidden_channels=(16, 32, 64)))
+    return pred.denoise_folder(
+        "/root/reference/Sample/CAMUS/origin", start=0)
+
+
+@requires_reference
+@requires_weights
+def test_trained_student_matches_shipped_goldens(student_outputs):
+    import cv2
+
+    for i in range(student_outputs.shape[0]):
+        golden = cv2.imread(os.path.join(GOLDENS, f"camus_{i:02d}.png"), 0)
+        assert golden is not None
+        diff = np.abs(student_outputs[i].astype(np.int16)
+                      - golden.astype(np.int16))
+        # byte-exact on the generating platform; allow 1 quantization
+        # level on rare pixels for XLA-CPU version drift
+        assert diff.max() <= 1, f"frame {i}: max diff {diff.max()}"
+        assert (diff == 0).mean() > 0.999, f"frame {i}"
+
+
+@requires_reference
+@requires_weights
+def test_trained_student_matches_reference_released_goldens(student_outputs):
+    """The distilled student vs the goldens the REFERENCE produced with
+    its released KDLAE-T weights — proof the rebuilt training pipeline
+    converges to the reference pipeline's behavior on real sonar data."""
+    import cv2
+
+    ref_dir = "/root/reference/Sample/CAMUS/denoise/KDLAE-T"
+    names = sorted(os.listdir(ref_dir))[: student_outputs.shape[0]]
+    psnrs = []
+    for i, name in enumerate(names):
+        ref = cv2.imread(os.path.join(ref_dir, name), 0).astype(np.float64)
+        ours = student_outputs[i].astype(np.float64)
+        mse = np.mean((ours - ref) ** 2)
+        psnrs.append(10 * np.log10(255.0 ** 2 / mse))
+    assert float(np.mean(psnrs)) >= 30.0, psnrs
