@@ -30,6 +30,39 @@ OUT = os.path.join(REPO, "artifacts/kdlaes_full100k/goldens")
 FRAMES = "/root/reference/Sample/CAMUS/origin"
 
 
+T_WEIGHTS = os.path.join(
+    REPO, "artifacts/kdlaet_full50k/weights/net_g_50000_bf16")
+T_OUT = os.path.join(REPO, "artifacts/kdlaet_full50k/goldens")
+
+
+def make_teacher_goldens() -> None:
+    """MDD crop goldens of the shipped 50k-trained teacher (fp32 quality
+    path — crop-sized because a full-frame fp32 teacher forward takes
+    minutes on the CPU test platform)."""
+    import cv2
+
+    from rethink_acoustic_image_enhancement_tpu.eval.infer import (
+        TeacherPredictor,
+    )
+    from rethink_acoustic_image_enhancement_tpu.models import (
+        flagship_teacher,
+    )
+    from rethink_acoustic_image_enhancement_tpu.train.checkpoints import (
+        load_weights,
+    )
+
+    pred = TeacherPredictor(params=load_weights(T_WEIGHTS),
+                            model=flagship_teacher(static="train"))
+    img = cv2.imread("/root/reference/Sample/MDD/origin/0001_sort.jpg")
+    crop = cv2.cvtColor(img[100:196, 200:328], cv2.COLOR_BGR2RGB)
+    out = pred(crop, denoise_rate=1.0, zero_mask=False)
+    os.makedirs(T_OUT, exist_ok=True)
+    for key in ("hq", "sr"):
+        cv2.imwrite(os.path.join(T_OUT, f"mdd_crop_{key}.png"),
+                    cv2.cvtColor(out[key], cv2.COLOR_RGB2BGR))
+    print(f"wrote teacher crop goldens to {T_OUT}")
+
+
 def main() -> None:
     import cv2
 
@@ -50,6 +83,8 @@ def main() -> None:
     for i in range(out.shape[0]):
         cv2.imwrite(os.path.join(OUT, f"camus_{i:02d}.png"), out[i])
     print(f"wrote {out.shape[0]} goldens to {OUT}")
+    if os.path.isdir(T_WEIGHTS):
+        make_teacher_goldens()
 
 
 if __name__ == "__main__":

@@ -46,6 +46,55 @@ def student_outputs():
         "/root/reference/Sample/CAMUS/origin", start=0)
 
 
+TEACHER_WEIGHTS = os.path.join(
+    REPO, "artifacts/kdlaet_full50k/weights/net_g_50000_bf16")
+TEACHER_GOLDENS = os.path.join(REPO, "artifacts/kdlaet_full50k/goldens")
+
+
+@requires_reference
+@pytest.mark.skipif(
+    not (os.path.isdir(TEACHER_WEIGHTS)
+         and os.environ.get("RAIE_SLOW_GOLDENS")),
+    reason="teacher golden forward takes ~3 min on CPU; set "
+           "RAIE_SLOW_GOLDENS=1 (regenerate via the snippet in "
+           "artifacts/kdlaet_full50k/goldens)")
+def test_trained_teacher_matches_shipped_goldens():
+    """The shipped 50k-trained teacher (bf16) serves the committed MDD
+    crop goldens: hq/sr reproduce to <=1 level, and hq scores >=30 dB
+    against the reference's released-weights golden for the same crop
+    (raw input: 15.5 dB) — the rebuilt teacher training pipeline
+    converges to the reference pipeline's behavior."""
+    import cv2
+
+    from rethink_acoustic_image_enhancement_tpu.eval.infer import (
+        TeacherPredictor,
+    )
+    from rethink_acoustic_image_enhancement_tpu.models import (
+        flagship_teacher,
+    )
+    from rethink_acoustic_image_enhancement_tpu.train.checkpoints import (
+        load_weights,
+    )
+
+    pred = TeacherPredictor(params=load_weights(TEACHER_WEIGHTS),
+                            model=flagship_teacher(static="train"))
+    img = cv2.imread("/root/reference/Sample/MDD/origin/0001_sort.jpg")
+    crop = cv2.cvtColor(img[100:196, 200:328], cv2.COLOR_BGR2RGB)
+    out = pred(crop, denoise_rate=1.0, zero_mask=False)
+    for key in ("hq", "sr"):
+        golden = cv2.cvtColor(
+            cv2.imread(os.path.join(TEACHER_GOLDENS, f"mdd_crop_{key}.png")),
+            cv2.COLOR_BGR2RGB)
+        diff = np.abs(out[key].astype(np.int16) - golden.astype(np.int16))
+        assert diff.max() <= 1 and (diff == 0).mean() > 0.999, key
+
+    ref = cv2.imread("/root/reference/Sample/MDD/denoise/KDLAE-T/"
+                     "0001_sort.jpg", 0)[100:196, 200:328].astype(np.float64)
+    ours = cv2.cvtColor(out["hq"], cv2.COLOR_RGB2GRAY).astype(np.float64)
+    psnr = 10 * np.log10(255.0 ** 2 / np.mean((ours - ref) ** 2))
+    assert psnr >= 30.0, psnr
+
+
 @requires_reference
 @requires_weights
 def test_trained_student_matches_shipped_goldens(student_outputs):
