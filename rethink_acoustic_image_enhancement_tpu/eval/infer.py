@@ -102,24 +102,43 @@ class TeacherPredictor:
         self._apply = functools.partial(jax.jit(self._forward))
         self._placed_params = None
         if self.mesh is not None:
-            from ..parallel.mesh import SPATIAL_AXIS
+            from ..parallel.mesh import MODEL_AXIS, SPATIAL_AXIS
 
-            self._n_spatial = int(self.mesh.shape[SPATIAL_AXIS])
+            shape = dict(self.mesh.shape)
+            self._n_spatial = int(shape[SPATIAL_AXIS])
+            self._n_model = int(shape.get(MODEL_AXIS, 1))
+            if self._n_spatial > 1 and self._n_model > 1:
+                # measured miscompare (2026-08-18, jax 0.8 CPU SPMD): conv
+                # kernels sharded on output features combined with
+                # halo-partitioned (row-sharded) inputs produce wrong
+                # numerics (max|diff| 22 on a [0,1] image; either axis
+                # alone is exact to 1e-5 — tests/test_parallel.py). Refuse
+                # rather than serve silently-corrupt images.
+                raise ValueError(
+                    "tensor-parallel ('model') and spatial mesh axes "
+                    "cannot be combined in one predictor: XLA's SPMD "
+                    "partitioner mis-partitions feature-sharded conv "
+                    "kernels under halo exchange; use one axis > 1")
         else:
             self._n_spatial = 1
+            self._n_model = 1
 
     def _place_inputs(self, x: np.ndarray, rate: np.ndarray):
         """Shard (1, H, W, C) host arrays over the spatial mesh (one H2D
-        each — no staging copy on the default device); replicate params
-        once on first use."""
+        each — no staging copy on the default device); place params once
+        on first use — replicated, or channel-sharded over the 'model'
+        axis when the mesh has one (tensor-parallel serving: XLA SPMD
+        propagates the Megatron-style block interior and inserts the
+        channel collectives; see parallel.mesh.model_param_specs)."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        from ..parallel.mesh import SPATIAL_AXIS, replicated
+        from ..parallel.mesh import SPATIAL_AXIS, model_param_specs, replicated
 
         spec = NamedSharding(self.mesh, P(None, SPATIAL_AXIS, None, None))
         if self._placed_params is None:
-            self._placed_params = jax.device_put(
-                self.params, replicated(self.mesh))
+            placement = (model_param_specs(self.mesh, self.params)
+                         if self._n_model > 1 else replicated(self.mesh))
+            self._placed_params = jax.device_put(self.params, placement)
         return (self._placed_params,
                 jax.device_put(x, spec).astype(self.dtype),
                 jax.device_put(rate, spec).astype(self.dtype))

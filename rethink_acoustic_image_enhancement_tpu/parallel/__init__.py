@@ -9,9 +9,11 @@ from __future__ import annotations
 
 from .mesh import (  # noqa: F401
     DATA_AXIS,
+    MODEL_AXIS,
     SPATIAL_AXIS,
     batch_sharding,
     make_mesh,
+    model_param_specs,
     process_shard,
     replicated,
     shard_batch_pytree,

@@ -81,6 +81,74 @@ def test_process_shard_strided():
     assert process_shard(items, 3, 4) == [3, 7]
 
 
+def test_model_parallel_forward_matches_unsharded():
+    """Tensor parallelism: shard conv output channels / per-channel
+    vectors over the 'model' axis (model_param_specs) and let XLA SPMD
+    insert the channel collectives — numerics must match unsharded."""
+    from rethink_acoustic_image_enhancement_tpu.parallel.mesh import (
+        MODEL_AXIS,
+        model_param_specs,
+    )
+
+    model, params = _tiny_teacher()
+    rng = np.random.default_rng(5)
+    img = rng.random((1, 16, 16, 3)).astype(np.float32)
+    rate = np.full((1, 16, 16, 1), 0.5, np.float32)
+
+    def fwd(p, i, r):
+        return model.apply({"params": p}, {"img": i, "denoise_rate": r})["hq"]
+
+    expected = np.asarray(jax.jit(fwd)(params, img, rate))
+
+    mesh = make_mesh(n_data=1, n_spatial=1, n_model=8)
+    assert mesh.shape[MODEL_AXIS] == 8
+    specs = model_param_specs(mesh, params)
+    # dim=8 teacher: level-1 conv kernels have 8 output channels — they
+    # must actually shard (1 channel/device), not silently replicate
+    sharded_leaves = [s for s in jax.tree_util.tree_leaves(
+        specs, is_leaf=lambda x: isinstance(x, NamedSharding))
+        if s.spec != P()]
+    assert len(sharded_leaves) > 50
+    params_tp = jax.device_put(params, specs)
+    img_r = jax.device_put(img, replicated(mesh))
+    rate_r = jax.device_put(rate, replicated(mesh))
+    got = np.asarray(jax.jit(fwd)(params_tp, img_r, rate_r))
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-5)
+
+
+def test_model_parallel_predictor_matches_single_device():
+    """TeacherPredictor(mesh with a 'model' axis) = tensor-parallel
+    serving; uint8 outputs match the single-device predictor to <=1
+    quantization level. Combining model+spatial axes must REFUSE: the
+    SPMD partitioner mis-partitions feature-sharded conv kernels under
+    halo exchange (measured max|diff| 22 on a [0,1] image)."""
+    import pytest
+
+    from rethink_acoustic_image_enhancement_tpu.eval.infer import (
+        TeacherPredictor,
+    )
+
+    model, params = _tiny_teacher()
+    rng = np.random.default_rng(6)
+    img = rng.random((32, 24, 3)).astype(np.float32)
+
+    single = TeacherPredictor(params=params, model=model)
+    out_1 = single(img, denoise_rate=0.7, zero_mask=False)["hq"]
+
+    mesh = make_mesh(n_data=1, n_spatial=1, n_model=8)
+    tp = TeacherPredictor(params=params, model=model, mesh=mesh)
+    out_n = tp(img, denoise_rate=0.7, zero_mask=False)["hq"]
+
+    assert out_n.shape == out_1.shape == img.shape
+    diff = np.abs(out_1.astype(np.int16) - out_n.astype(np.int16))
+    assert diff.max() <= 1
+    assert (diff == 0).mean() > 0.99
+
+    with pytest.raises(ValueError, match="cannot be combined"):
+        TeacherPredictor(params=params, model=model,
+                         mesh=make_mesh(n_data=1, n_spatial=2, n_model=4))
+
+
 def test_spatial_mesh_predictor_matches_single_device():
     """TeacherPredictor(mesh=...) shards image rows across the spatial
     axis (multi-chip serving for huge frames); uint8 outputs must match
