@@ -109,15 +109,19 @@ class GDFN(nn.Module):
     dim: int
     expansion_factor: float = 2.66
     use_bias: bool = False
+    dwconv_shift: bool = False  # shift-add depthwise (see TransformerBlock)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         hidden = int(self.dim * self.expansion_factor)
         x = nn.Conv(hidden * 2, (1, 1), use_bias=self.use_bias, name="project_in")(x)
-        x = nn.Conv(
-            hidden * 2, (3, 3), padding=1, feature_group_count=hidden * 2,
-            use_bias=self.use_bias, name="dwconv",
-        )(x)
+        if self.dwconv_shift:
+            x = DepthwiseConv3x3(hidden * 2, self.use_bias, name="dwconv")(x)
+        else:
+            x = nn.Conv(
+                hidden * 2, (3, 3), padding=1, feature_group_count=hidden * 2,
+                use_bias=self.use_bias, name="dwconv",
+            )(x)
         x1, x2 = jnp.split(x, 2, axis=-1)
         x = gelu(x1, approximate=False) * x2
         return nn.Conv(self.dim, (1, 1), use_bias=self.use_bias, name="project_out")(x)
@@ -129,6 +133,7 @@ class MDTA(nn.Module):
     dim: int
     num_heads: int
     use_bias: bool = False
+    dwconv_shift: bool = False  # shift-add depthwise (see TransformerBlock)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -136,10 +141,14 @@ class MDTA(nn.Module):
             "temperature", nn.initializers.ones, (self.num_heads, 1, 1)
         )
         qkv = nn.Conv(self.dim * 3, (1, 1), use_bias=self.use_bias, name="qkv")(x)
-        qkv = nn.Conv(
-            self.dim * 3, (3, 3), padding=1, feature_group_count=self.dim * 3,
-            use_bias=self.use_bias, name="qkv_dwconv",
-        )(qkv)
+        if self.dwconv_shift:
+            qkv = DepthwiseConv3x3(self.dim * 3, self.use_bias,
+                                   name="qkv_dwconv")(qkv)
+        else:
+            qkv = nn.Conv(
+                self.dim * 3, (3, 3), padding=1, feature_group_count=self.dim * 3,
+                use_bias=self.use_bias, name="qkv_dwconv",
+            )(qkv)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         out = mdta_attention(q, k, v, temperature, self.num_heads)
         return nn.Conv(self.dim, (1, 1), use_bias=self.use_bias, name="project_out")(out)
@@ -160,13 +169,23 @@ class TransformerBlock(nn.Module):
     use_bias: bool = False
     bias_free_ln: bool = False
     fused: bool = False
+    # Route BOTH depthwise convs through DepthwiseConv3x3 (nine shifted
+    # multiply-adds, identical parameter tree). Required for tensor-parallel
+    # TRAINING: XLA SPMD (jax 0.9) silently produces 4x-scaled gradients for
+    # grouped-conv kernels on a mesh with a 'model' axis (which leaves break
+    # depends on the global partitioning strategy — measured in
+    # tests/test_parallel.py); the shift-add form is elementwise ops whose
+    # grads partition exactly.
+    dwconv_shift: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         norm1 = ChannelLayerNorm(self.dim, self.bias_free_ln, name="norm1")
-        attn = MDTA(self.dim, self.num_heads, self.use_bias, name="attn")
+        attn = MDTA(self.dim, self.num_heads, self.use_bias,
+                    dwconv_shift=self.dwconv_shift, name="attn")
         norm2 = ChannelLayerNorm(self.dim, self.bias_free_ln, name="norm2")
-        ffn = GDFN(self.dim, self.ffn_expansion_factor, self.use_bias, name="ffn")
+        ffn = GDFN(self.dim, self.ffn_expansion_factor, self.use_bias,
+                   dwconv_shift=self.dwconv_shift, name="ffn")
 
         use_mega = self.fused and not self.is_initializing()
         if use_mega:

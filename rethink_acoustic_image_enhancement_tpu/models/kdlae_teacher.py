@@ -39,6 +39,7 @@ class TransformerStage(nn.Module):
     use_bias: bool = False
     bias_free_ln: bool = False
     fused: bool = False
+    dwconv_shift: bool = False  # see TransformerBlock.dwconv_shift
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -79,6 +80,7 @@ class TransformerStage(nn.Module):
                 use_bias=self.use_bias,
                 bias_free_ln=self.bias_free_ln,
                 fused=False,  # stage-level fusion supersedes per-block
+                dwconv_shift=self.dwconv_shift,
                 name=str(i),
             )(x)
         return x
@@ -108,6 +110,7 @@ class KDLAETeacher(nn.Module):
     params: str = "cat"  # 'cat' (denoise-rate conditioning) or 'none'
     fused: bool = False  # Pallas LN+GDFN kernels (serving path)
     fused_resample: bool = False  # fold pixel-(un)shuffle into the convs
+    dwconv_shift: bool = False  # see TransformerBlock.dwconv_shift
 
     def setup(self):
         if self.params not in ("cat", "none"):
@@ -124,7 +127,7 @@ class KDLAETeacher(nn.Module):
             return TransformerStage(
                 dim=dim, num_heads=heads, num_blocks=blocks,
                 ffn_expansion_factor=ff, use_bias=b, bias_free_ln=bf,
-                fused=self.fused,
+                fused=self.fused, dwconv_shift=self.dwconv_shift,
             )
 
         fr = self.fused_resample
@@ -225,6 +228,7 @@ class Restormer(nn.Module):
     layernorm_type: str = "WithBias"
     dual_pixel_task: bool = False
     fused_resample: bool = False  # fold pixel-(un)shuffle into the convs
+    dwconv_shift: bool = False  # see TransformerBlock.dwconv_shift
 
     @nn.compact
     def __call__(self, inp_img: jnp.ndarray) -> jnp.ndarray:
@@ -235,7 +239,8 @@ class Restormer(nn.Module):
         def stage(dim, heads, blocks, name):
             return TransformerStage(
                 dim=dim, num_heads=heads, num_blocks=blocks,
-                ffn_expansion_factor=ff, use_bias=b, bias_free_ln=bf, name=name,
+                ffn_expansion_factor=ff, use_bias=b, bias_free_ln=bf,
+                dwconv_shift=self.dwconv_shift, name=name,
             )
 
         x1 = OverlapPatchEmbed(d, b, name="patch_embed")(inp_img)

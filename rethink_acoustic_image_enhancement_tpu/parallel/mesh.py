@@ -92,7 +92,19 @@ def model_param_specs(mesh: Mesh, params) -> dict:
     inputs mis-partitions the convs — max|diff| 22 on a [0,1] image,
     while either axis alone is exact to 1e-5 (tests/test_parallel.py).
     Keep 'model' and 'spatial' mesh axes mutually exclusive per program;
-    TeacherPredictor enforces this."""
+    TeacherPredictor enforces this.
+
+    SECOND DEFECT, TRAINING ONLY (measured 2026-08-18, jax 0.9): on any
+    mesh with a 'model' axis, grouped-conv (depthwise) KERNEL GRADIENTS
+    silently come out n_model-times too large for a strategy-dependent
+    subset of the depthwise convs (under these specs: the replicated
+    indivisible-width GDFN dwconvs; under alternate spec rules, even
+    divisible sharded ones). Forward is exact; only the backward
+    mis-reduces. Training over 'model' therefore requires the shift-add
+    depthwise form (models/blocks.py DepthwiseConv3x3 via the models'
+    ``dwconv_shift`` flag — identical param tree, elementwise ops whose
+    grads partition exactly); train.model_shard wires this automatically
+    and tests/test_parallel.py guards it."""
     n_model = int(mesh.shape[MODEL_AXIS])
 
     def spec(path, x) -> NamedSharding:

@@ -101,6 +101,26 @@ def build_everything(opt: dict, mesh=None):
     # axis inside the train step (CP analog, SURVEY §5.7) — the only way
     # to parallelize the teacher's batch-1 curriculum stages on a pod.
     n_spatial = int(train_opt.get("spatial_shard", 1) or 1)
+    # `train.model_shard: N` = tensor parallelism: conv channels shard
+    # over a 'model' mesh axis (parallel.mesh.model_param_specs), batches
+    # replicate across it. Mutually exclusive with spatial_shard (known
+    # SPMD partitioner defect, see model_param_specs docstring).
+    n_model = int(train_opt.get("model_shard", 1) or 1)
+    if n_model > 1:
+        if n_spatial > 1:
+            raise ValueError("train.model_shard and train.spatial_shard "
+                             "cannot be combined (XLA SPMD mis-partitions "
+                             "feature-sharded convs under halo exchange)")
+        if hasattr(model, "dwconv_shift") and not model.dwconv_shift:
+            # grouped-conv kernel grads silently come out 4x-scaled under
+            # a 'model' mesh axis (XLA SPMD defect, jax 0.9 — see
+            # TransformerBlock.dwconv_shift); the shift-add depthwise form
+            # has an identical param tree and exactly-partitionable grads
+            model = model.clone(dwconv_shift=True)
+        if mesh is None:
+            from ..parallel.mesh import make_mesh
+
+            mesh = make_mesh(n_model=n_model)
     spatial_axis = None
     if n_spatial > 1:
         # XLA's SPMD conv gradients require >= 1 row per shard at the

@@ -29,7 +29,13 @@ import optax
 from flax import struct
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..parallel.mesh import DATA_AXIS, SPATIAL_AXIS, make_mesh
+from ..parallel.mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    SPATIAL_AXIS,
+    make_mesh,
+    model_param_specs,
+)
 from .mixup import mixing_augment
 from .progressive import stage_crop, stage_extra_mask
 from .schedules import Schedule, build_schedule
@@ -146,6 +152,16 @@ class Trainer:
         self._state_sharding = repl
         self._batch_spec = shard
         self._n_spatial = dict(self.mesh.shape).get(SPATIAL_AXIS, 1)
+        self._n_model = dict(self.mesh.shape).get(MODEL_AXIS, 1)
+        if self._n_model > 1 and self.spatial_axis is not None \
+                and self._n_spatial > 1:
+            # same partitioner defect as serving (mesh.model_param_specs
+            # docstring): feature-sharded kernels + halo-exchanged rows
+            # mis-partition; training additionally runs the transposed
+            # convs in the backward pass
+            raise ValueError("model_shard and spatial_shard cannot be "
+                             "combined: XLA SPMD mis-partitions "
+                             "feature-sharded convs under halo exchange")
         if self.spatial_axis is not None and self._n_spatial > 1:
             spec = [None] * (self.spatial_axis + 1)
             spec[0], spec[self.spatial_axis] = DATA_AXIS, SPATIAL_AXIS
@@ -156,7 +172,14 @@ class Trainer:
 
     # ------------------------------------------------------------- state --
     def init_state(self, params, extra_variables: Any = None) -> TrainState:
-        params = jax.device_put(params, self._state_sharding)
+        # tensor parallelism: params (and therefore the optax state and
+        # EMA, whose leaves are created zeros_like/copy and inherit the
+        # placement) shard channel-wise over the 'model' axis; batches
+        # replicate across it (_shard_like never names MODEL_AXIS) and
+        # XLA SPMD inserts the channel collectives in both passes.
+        placement = (model_param_specs(self.mesh, params)
+                     if self._n_model > 1 else self._state_sharding)
+        params = jax.device_put(params, placement)
         opt_state = self.optimizer.init(params)
         # copy, not alias: state is donated, and donating the same buffer
         # through both params and ema_params is invalid

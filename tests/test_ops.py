@@ -106,3 +106,38 @@ def test_frame_interpolation_corrupt_shapes_and_even_frames():
     dropped = np.isclose(odd, -0.1, atol=1e-6)
     assert np.all(kept | dropped)
     assert 0.3 < dropped.mean() < 0.7  # masked at prob 0.5
+
+
+def test_dwconv_shift_matches_grouped_conv():
+    """The shift-add depthwise form (models' ``dwconv_shift=True``, what
+    train.model_shard swaps in — see parallel/mesh.py SECOND DEFECT) is
+    numerically the grouped conv: identical parameter tree, matching
+    forward AND parameter gradients on the same weights."""
+    from rethink_acoustic_image_enhancement_tpu.models import KDLAETeacher
+
+    kw = dict(dim=8, num_blocks=(1, 1, 1, 1), num_refinement_blocks=1,
+              heads=(1, 2, 4, 8), layernorm_type="BiasFree",
+              static="train", params="cat")
+    conv = KDLAETeacher(**kw)
+    shift = KDLAETeacher(**kw, dwconv_shift=True)
+    lq = {"img": jnp.asarray(_rand((2, 16, 16, 3), seed=11)),
+          "denoise_rate": jnp.full((2, 16, 16, 1), 0.6, jnp.float32)}
+    params = conv.init(jax.random.PRNGKey(3), lq)["params"]
+    # identical param trees (the converter/checkpoints see no difference)
+    ps = shift.init(jax.random.PRNGKey(3), lq)["params"]
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(ps)
+
+    def loss(model):
+        def f(p):
+            out = model.apply({"params": p}, lq)
+            return (jnp.abs(out["hq"]).mean()
+                    + jnp.abs(out["sr"]).mean())
+        return f
+
+    (l_c, g_c) = jax.jit(jax.value_and_grad(loss(conv)))(params)
+    (l_s, g_s) = jax.jit(jax.value_and_grad(loss(shift)))(params)
+    np.testing.assert_allclose(float(l_c), float(l_s), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g_c), jax.tree.leaves(g_s)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-5)

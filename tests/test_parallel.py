@@ -149,6 +149,90 @@ def test_model_parallel_predictor_matches_single_device():
                          mesh=make_mesh(n_data=1, n_spatial=2, n_model=4))
 
 
+def test_model_parallel_train_step_matches_data_parallel():
+    """TP training (train.model_shard): params/opt-state/EMA shard over
+    the 'model' axis, batches replicate across it — loss, grad norm and
+    the updated params must match the pure-DP step.
+
+    Uses the dwconv_shift=True model (what train.model_shard wires in):
+    with plain grouped convs, XLA SPMD (jax 0.9) silently emits 4x-scaled
+    kernel grads for a strategy-dependent subset of depthwise convs on any
+    mesh with a 'model' axis (measured: the four indivisible-width GDFN
+    dwconvs under the default specs; different — including divisible —
+    ones under alternates). The shift-add depthwise form is elementwise
+    ops whose grads partition exactly; this test is the regression guard."""
+    from rethink_acoustic_image_enhancement_tpu.losses import build_loss
+    from rethink_acoustic_image_enhancement_tpu.parallel.mesh import (
+        MODEL_AXIS,
+    )
+    from rethink_acoustic_image_enhancement_tpu.train.schedules import (
+        build_schedule,
+    )
+    from rethink_acoustic_image_enhancement_tpu.train.trainer import (
+        Trainer,
+        build_optimizer,
+    )
+
+    model, params = _tiny_teacher()
+    model = model.clone(static="train", dwconv_shift=True)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        {"img": jnp.zeros((1, 16, 16, 3)),
+         "denoise_rate": jnp.zeros((1, 16, 16, 1))})["params"]
+    train_opt = {"optim_g": {"type": "AdamW", "lr": 3e-4,
+                             "weight_decay": 1e-4, "betas": [0.9, 0.999]},
+                 "use_grad_clip": True,
+                 "scheduler": {"type": "CosineAnnealingRestartCyclicLR",
+                               "periods": [100], "restart_weights": [1],
+                               "eta_mins": [1e-6]}}
+    schedule = build_schedule(3e-4, train_opt["scheduler"], warmup_iter=-1)
+
+    def make_trainer(mesh):
+        return Trainer(
+            apply_fn=lambda p, lq: model.apply({"params": p}, lq),
+            loss_fn=build_loss({"type": "L1LossSr", "loss_weight": 1,
+                                "reduction": "mean"}),
+            optimizer=build_optimizer(train_opt, schedule),
+            schedule=schedule, mesh=mesh, ema_decay=0.999)
+
+    rng = np.random.default_rng(7)
+    lq = {"img": rng.uniform(size=(4, 16, 16, 3)).astype(np.float32),
+          "denoise_rate": np.full((4, 16, 16, 1), 0.6, np.float32)}
+    gt = {"hq": rng.uniform(size=(4, 16, 16, 3)).astype(np.float32),
+          "sr": rng.uniform(size=(4, 32, 32, 3)).astype(np.float32)}
+
+    results = {}
+    for tag, mesh in (("dp", make_mesh(n_data=8)),
+                      ("dp_tp", make_mesh(n_data=2, n_model=4))):
+        tr = make_trainer(mesh)
+        state = tr.init_state(jax.tree.map(np.copy, params))
+        if tag == "dp_tp":
+            k = state.params["patch_embed"]["proj"]["kernel"]
+            assert MODEL_AXIS in tuple(k.sharding.spec), k.sharding
+        hist = []
+        for i in range(2):
+            state, metrics = tr.step(state, lq, gt, jax.random.PRNGKey(i))
+            hist.append((float(metrics["l_pix"]),
+                         float(metrics["grad_norm"])))
+        results[tag] = (hist, jax.device_get(state.params))
+
+    (dp_hist, dp_params) = results["dp"]
+    (tp_hist, tp_params) = results["dp_tp"]
+    # Step 1 runs on identical params: loss is a pure forward reduction
+    # and grad_norm the globally-psummed gradient — tight parity here
+    # catches any real TP sharding-math bug (missing collective, wrong
+    # channel split). Step 2 follows one AdamW update, whose g/|g|
+    # normalization amplifies fp32 reduction-order noise, so it (and the
+    # final params) only get sanity tolerances (|Δparam| per flipped-sign
+    # noise-level grad is ≤ 2·lr per step).
+    assert np.isclose(dp_hist[0][0], tp_hist[0][0], atol=1e-5)
+    assert np.isclose(dp_hist[0][1], tp_hist[0][1], rtol=1e-4)
+    assert np.isclose(dp_hist[1][0], tp_hist[1][0], atol=5e-4)
+    assert np.isclose(dp_hist[1][1], tp_hist[1][1], rtol=5e-2)
+    for a, b in zip(jax.tree.leaves(dp_params), jax.tree.leaves(tp_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
+
+
 def test_spatial_mesh_predictor_matches_single_device():
     """TeacherPredictor(mesh=...) shards image rows across the spatial
     axis (multi-chip serving for huge frames); uint8 outputs must match

@@ -212,3 +212,60 @@ def test_spatial_shard_config_key(tmp_path):
     opt["train"]["spatial_shard"] = 8
     with pytest.raises(ValueError, match="over-shards"):
         build_everything(opt)
+
+
+def test_model_shard_config_key(tmp_path):
+    """train.model_shard reaches the Trainer through build_everything:
+    2x1x4 mesh on the 8 CPU devices, the model swapped to the shift-add
+    depthwise form (grouped-conv kernel grads miscompile on a 'model'
+    mesh axis — parallel/mesh.py SECOND DEFECT), and combining with
+    spatial_shard fails fast."""
+    import pytest
+
+    from rethink_acoustic_image_enhancement_tpu.parallel.mesh import (
+        MODEL_AXIS,
+    )
+    from rethink_acoustic_image_enhancement_tpu.train.loop import (
+        build_everything,
+    )
+
+    opt = {
+        "name": "model_shard_smoke",
+        "model_type": "ImageCleanModel",
+        "scale": 1,
+        "manual_seed": 0,
+        "is_train": True,
+        "datasets": {"train": {
+            "name": "t", "type": "Dataset_PairedImage",
+            "dataroot_gt": str(tmp_path), "dataroot_lq": str(tmp_path),
+            "io_backend": {"type": "disk"}, "gt_size": 32,
+            "batch_size_per_gpu": 4, "phase": "train",
+        }},
+        "network_g": {"type": "KDLAE_teacher", "inp_channels": 3,
+                      "out_channels": 3, "dim": 8,
+                      "num_blocks": [1, 1, 1, 1],
+                      "num_refinement_blocks": 1, "heads": [1, 2, 4, 8],
+                      "ffn_expansion_factor": 2.66, "bias": False,
+                      "LayerNorm_type": "BiasFree",
+                      "dual_pixel_task": False, "static": "train",
+                      "params": "cat"},
+        "path": {},
+        "train": {
+            "total_iter": 10, "warmup_iter": -1, "use_grad_clip": True,
+            "model_shard": 4,
+            "scheduler": {"type": "CosineAnnealingRestartCyclicLR",
+                          "periods": [10], "restart_weights": [1],
+                          "eta_mins": [1e-6]},
+            "optim_g": {"type": "AdamW", "lr": 1e-4,
+                        "weight_decay": 1e-4, "betas": [0.9, 0.999]},
+            "pixel_opt": {"type": "L1LossSr", "loss_weight": 1,
+                          "reduction": "mean"},
+        },
+    }
+    model, params, trainer, schedule = build_everything(opt)
+    assert dict(trainer.mesh.shape)[MODEL_AXIS] == 4
+    assert model.dwconv_shift is True
+
+    opt["train"]["spatial_shard"] = 2
+    with pytest.raises(ValueError, match="cannot be combined"):
+        build_everything(opt)
