@@ -162,3 +162,41 @@ def test_teacher_fused_resample_parity():
                                np.asarray(y_ref["hq"]), rtol=0, atol=2e-5)
     np.testing.assert_allclose(np.asarray(y_fused["sr"]),
                                np.asarray(y_ref["sr"]), rtol=0, atol=2e-5)
+
+
+def test_fused_resample_model_shard_parity():
+    """The folded resamplers compose with tensor-parallel serving: their
+    stride-2 / input-dilated conv kernels shard output channels over the
+    'model' axis like any other kernel (model_param_specs has no special
+    case) and the forward must stay exact."""
+    from rethink_acoustic_image_enhancement_tpu.parallel.mesh import (
+        make_mesh,
+        model_param_specs,
+        replicated,
+    )
+
+    model = KDLAETeacher(dim=8, num_blocks=(1, 1, 1, 1),
+                         num_refinement_blocks=1, heads=(1, 2, 4, 8),
+                         layernorm_type="BiasFree", static="test",
+                         params="cat")
+    fused = model.clone(fused_resample=True)
+    params = model.init(
+        jax.random.PRNGKey(13),
+        {"img": jnp.zeros((1, 16, 16, 3)),
+         "denoise_rate": jnp.zeros((1, 16, 16, 1))})["params"]
+    rng = np.random.default_rng(15)
+    img = rng.random((2, 32, 32, 3)).astype(np.float32)
+    rate = np.full((2, 32, 32, 1), 0.5, np.float32)
+
+    def fwd(m):
+        return jax.jit(lambda p, i, r: m.apply(
+            {"params": p}, {"img": i, "denoise_rate": r})["hq"])
+
+    expected = np.asarray(fwd(model)(params, img, rate))
+
+    mesh = make_mesh(n_data=1, n_spatial=1, n_model=8)
+    got = np.asarray(fwd(fused)(
+        jax.device_put(params, model_param_specs(mesh, params)),
+        jax.device_put(img, replicated(mesh)),
+        jax.device_put(rate, replicated(mesh))))
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-5)

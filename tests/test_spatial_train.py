@@ -269,3 +269,48 @@ def test_model_shard_config_key(tmp_path):
     opt["train"]["spatial_shard"] = 2
     with pytest.raises(ValueError, match="cannot be combined"):
         build_everything(opt)
+
+
+def test_student_model_shard_step_matches_data_parallel():
+    """Student TP training (train.model_shard on KDLAE_student): the
+    student has NO grouped convs, so the grouped-conv gradient defect
+    (parallel/mesh.py SECOND DEFECT) cannot bite and the plain model is
+    safe under a 'model' mesh axis — this guards that claim with the
+    same step-parity bar as the teacher tests."""
+    from rethink_acoustic_image_enhancement_tpu.parallel.mesh import (
+        MODEL_AXIS,
+    )
+
+    model = KDLAEStudent(residual=True, hidden_channels=(8, 16))
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 7, 16, 16)))["params"]
+    schedule = build_schedule(1e-4, _TRAIN_OPT["scheduler"], -1)
+
+    def make(mesh):
+        tr = Trainer(
+            apply_fn=lambda p, lq: model.apply({"params": p}, lq),
+            loss_fn=build_loss({"type": "L1Loss", "loss_weight": 1,
+                                "reduction": "mean"}),
+            optimizer=build_optimizer(_TRAIN_OPT, schedule),
+            schedule=schedule,
+            mesh=mesh,
+        )
+        return tr, tr.init_state(jax.tree.map(np.copy, params))
+
+    rng = np.random.default_rng(0)
+    clean = rng.uniform(0.2, 0.8, size=(4, 7, 32, 32)).astype(np.float32)
+    noisy = np.clip(clean + rng.normal(scale=0.1, size=clean.shape),
+                    0, 1).astype(np.float32)
+    key = jax.random.PRNGKey(1)
+
+    tr_dp, st_dp = make(make_mesh(n_data=8))
+    st_dp, m_dp = tr_dp.step(st_dp, noisy, clean, key)
+
+    tr_tp, st_tp = make(make_mesh(n_data=2, n_model=4))
+    ks = [k for k in jax.tree.leaves(
+        jax.tree.map(lambda x: tuple(x.sharding.spec), st_tp.params),
+        is_leaf=lambda x: isinstance(x, tuple)) if MODEL_AXIS in k]
+    assert ks, "no student leaf actually sharded over the model axis"
+    st_tp, m_tp = tr_tp.step(st_tp, noisy, clean, key)
+
+    _assert_step_parity(m_dp, m_tp, st_dp, st_tp)
