@@ -121,7 +121,15 @@ def build_optimizer(train_opt: dict, schedule: Schedule,
 
 @dataclasses.dataclass
 class Trainer:
-    """Owns the compiled train step(s) and the training state."""
+    """Owns the compiled train step(s) and the training state.
+
+    Direct-API warning for meshes with a 'model' axis (tensor-parallel
+    training): the model behind ``apply_fn`` must NOT contain plain
+    ``feature_group_count`` (grouped/depthwise) convs — XLA SPMD emits
+    silently n_model-times-too-large kernel gradients for them
+    (scripts/repro_xla_spmd_grouped_conv_grad.py). Use the models'
+    ``dwconv_shift=True`` form; ``build_everything`` wires this
+    automatically for ``train.model_shard`` configs."""
 
     apply_fn: Callable  # (params, lq, rngs|None) -> pred
     loss_fn: Callable  # (pred, gt[, rng]) -> scalar
