@@ -62,11 +62,32 @@ def _backend_answers(timeout_s: float = 120.0) -> bool:
         return False
 
 
+def _wait_for_backend() -> bool:
+    """Retry the probe with bounded patience: a wedged tunnel claim has
+    been observed to clear server-side after a while (CLAUDE.md), so a
+    one-shot probe throws away recoverable benches. Total patience via
+    RAIE_BENCH_PROBE_PATIENCE_S (default 1800 s, 0 = single probe)."""
+    import os
+    import sys
+
+    patience = float(os.environ.get("RAIE_BENCH_PROBE_PATIENCE_S", "1800"))
+    deadline = time.monotonic() + patience
+    while True:
+        if _backend_answers():
+            return True
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            return False
+        print(f"bench.py: backend probe failed; retrying "
+              f"({remaining:.0f}s of patience left)", file=sys.stderr)
+        time.sleep(min(60.0, max(1.0, remaining)))
+
+
 def main() -> None:
-    if not _backend_answers():
+    if not _wait_for_backend():
         import sys
 
-        print("bench.py: accelerator backend did not answer the probe "
+        print("bench.py: accelerator backend did not answer any probe "
               "(wedged tunnel claim?) — refusing to hang", file=sys.stderr)
         raise SystemExit(1)
 

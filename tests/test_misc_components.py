@@ -83,3 +83,32 @@ def test_bundle_submissions(tmp_path):
     bundled = sio.loadmat(os.path.join(out, "0001.mat"))
     assert bundled["Idenoised"].shape[-1] == 3
     assert bundled["israw"] == False  # noqa: E712
+
+
+def test_bench_probe_patience(monkeypatch):
+    """bench.py retries the backend probe with bounded patience (a wedged
+    tunnel claim can clear server-side minutes later — CLAUDE.md) and
+    still fails fast at patience 0."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_under_test",
+        os.path.join(os.path.dirname(__file__), "..", "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    calls = []
+    monkeypatch.setenv("RAIE_BENCH_PROBE_PATIENCE_S", "0")
+    monkeypatch.setattr(bench, "_backend_answers",
+                        lambda timeout_s=120.0: (calls.append(1), False)[1])
+    assert bench._wait_for_backend() is False
+    assert len(calls) == 1  # patience 0 = the old single-probe behavior
+
+    calls.clear()
+    monkeypatch.setenv("RAIE_BENCH_PROBE_PATIENCE_S", "5")
+    monkeypatch.setattr(bench, "_backend_answers",
+                        lambda timeout_s=120.0: (calls.append(1),
+                                                 len(calls) >= 3)[1])
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    assert bench._wait_for_backend() is True
+    assert len(calls) == 3
