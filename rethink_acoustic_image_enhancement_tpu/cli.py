@@ -12,11 +12,13 @@ notebooks, utils/download_weights.py) with one CLI:
   raie serve ...                     watch-folder serving daemon
   raie score ...                     ASDQE method-vs-origin protocol (CSV)
   raie convert ...                   reference .pth -> orbax checkpoint
+  raie doctor                        deployment diagnostics (wedge-proof)
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 
@@ -399,6 +401,21 @@ def _cmd_convert(args) -> int:
     return 0
 
 
+def _cmd_doctor(args) -> int:
+    # all device interaction runs in a timeout-bounded child process —
+    # a wedged tunnel claim yields a diagnosis, not a hang (utils/doctor)
+    from .utils.doctor import EXIT_BACKEND_DOWN, format_report, run_doctor
+
+    report = run_doctor(probe_timeout=args.probe_timeout,
+                        bandwidth_mb=args.bandwidth_mb,
+                        platform=args.platform)
+    if args.json:
+        print(json.dumps(report))
+    else:
+        print(format_report(report))
+    return 0 if report["backend"]["status"] == "ok" else EXIT_BACKEND_DOWN
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="raie", description=__doc__)
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -512,6 +529,19 @@ def main(argv=None) -> int:
                    help="export: orbax checkpoint dir -> reference-layout "
                         ".pth (params + params_ema when present)")
     p.set_defaults(fn=_cmd_convert)
+
+    p = sub.add_parser("doctor", help="deployment diagnostics: backend "
+                       "health, dispatch overhead, transfer bandwidth "
+                       "(wedge-proof — bounded child-process probe)")
+    p.add_argument("--probe-timeout", type=float, default=120.0,
+                   help="seconds before declaring the backend wedged")
+    p.add_argument("--bandwidth-mb", type=float, default=8.0,
+                   help="transfer probe size (one H2D + one D2H)")
+    p.add_argument("--platform", default="",
+                   help="diagnose a specific jax platform (e.g. 'cpu') "
+                        "instead of the ambient backend")
+    p.add_argument("--json", action="store_true")
+    p.set_defaults(fn=_cmd_doctor)
 
     args = parser.parse_args(argv)
     return args.fn(args)

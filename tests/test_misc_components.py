@@ -112,3 +112,29 @@ def test_bench_probe_patience(monkeypatch):
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
     assert bench._wait_for_backend() is True
     assert len(calls) == 3
+
+
+def test_doctor_cpu_and_wedge_classification(monkeypatch):
+    """`raie doctor` runs its device diagnostic in a bounded child
+    process: healthy CPU probe fills the metrics, a probe timeout is
+    classified as a wedged backend instead of hanging the caller."""
+    import subprocess
+
+    from rethink_acoustic_image_enhancement_tpu.utils import doctor
+
+    rep = doctor.run_doctor(probe_timeout=300.0, bandwidth_mb=1.0,
+                            platform="cpu")
+    b = rep["backend"]
+    assert b["status"] == "ok"
+    assert b["n_devices"] >= 1 and b["platform"] == "cpu"
+    for k in ("dispatch_ms", "h2d_mbps", "d2h_mbps", "first_call_s"):
+        assert b[k] > 0
+    assert "backend OK" in doctor.format_report(rep)
+
+    def fake_run(*a, **kw):
+        raise subprocess.TimeoutExpired(cmd="probe", timeout=kw["timeout"])
+
+    monkeypatch.setattr(doctor.subprocess, "run", fake_run)
+    rep = doctor.run_doctor(probe_timeout=1.0, platform="cpu")
+    assert rep["backend"]["status"] == "wedged"
+    assert "WEDGED" in doctor.format_report(rep)
