@@ -231,6 +231,22 @@ def _cmd_serve(args) -> int:
     from .models import KDLAETeacher
     from .utils.image_io import imwrite, list_images
 
+    if args.preflight_timeout > 0:
+        # bounded backend preflight: the daemon's first jit would block
+        # forever on a wedged accelerator claim — refuse to start instead
+        # (probe the platform THIS process resolved to, so forced-CPU
+        # runs/tests probe cpu, not the ambient tunnel)
+        import jax
+
+        from .utils.doctor import EXIT_BACKEND_DOWN, _probe_backend
+
+        probe = _probe_backend(args.preflight_timeout, 1.0,
+                               str(jax.config.jax_platforms or ""))
+        if probe["status"] != "ok":
+            print(f"[serve] backend {probe['status']}: {probe['detail']} "
+                  "— refusing to start (see `raie doctor`)", file=sys.stderr)
+            return EXIT_BACKEND_DOWN
+
     params = _load_params_any(args.weights, "KDLAE_teacher", args.param_key)
     model = KDLAETeacher(layernorm_type=args.layernorm_type,
                          static="train" if args.sr else "test", params="cat")
@@ -493,6 +509,10 @@ def main(argv=None) -> int:
     p.add_argument("--once", action="store_true",
                    help="drain the current backlog and exit")
     p.add_argument("--max-seconds", type=float, default=None)
+    p.add_argument("--preflight-timeout", type=float, default=120.0,
+                   help="bounded backend probe before starting (a wedged "
+                        "accelerator claim would hang the first jit "
+                        "forever); 0 disables")
     p.set_defaults(fn=_cmd_serve)
 
     p = sub.add_parser("infer-student", help="KDLAE-S multi-frame denoise")
