@@ -420,16 +420,31 @@ def _cmd_convert(args) -> int:
 def _cmd_doctor(args) -> int:
     # all device interaction runs in a timeout-bounded child process —
     # a wedged tunnel claim yields a diagnosis, not a hang (utils/doctor)
+    import time
+
     from .utils.doctor import EXIT_BACKEND_DOWN, format_report, run_doctor
 
-    report = run_doctor(probe_timeout=args.probe_timeout,
-                        bandwidth_mb=args.bandwidth_mb,
-                        platform=args.platform)
+    deadline = time.monotonic() + args.wait
+    while True:
+        report = run_doctor(probe_timeout=args.probe_timeout,
+                            bandwidth_mb=args.bandwidth_mb,
+                            platform=args.platform)
+        healthy = report["backend"]["status"] == "ok"
+        remaining = deadline - time.monotonic()
+        if healthy or remaining <= 0:
+            break
+        # --wait: supervisor gate — keep polling until the backend comes
+        # back (observed wedges clear server-side after a while) or the
+        # budget runs out, then report the last probe
+        print(f"[doctor] backend {report['backend']['status']}; "
+              f"retrying ({remaining:.0f}s of --wait left)",
+              file=sys.stderr)
+        time.sleep(min(args.poll_interval, max(1.0, remaining)))
     if args.json:
         print(json.dumps(report))
     else:
         print(format_report(report))
-    return 0 if report["backend"]["status"] == "ok" else EXIT_BACKEND_DOWN
+    return 0 if healthy else EXIT_BACKEND_DOWN
 
 
 def main(argv=None) -> int:
@@ -560,6 +575,12 @@ def main(argv=None) -> int:
     p.add_argument("--platform", default="",
                    help="diagnose a specific jax platform (e.g. 'cpu') "
                         "instead of the ambient backend")
+    p.add_argument("--wait", type=float, default=0.0,
+                   help="keep re-probing an unhealthy backend for up to "
+                        "N seconds (supervisor gate: exit 0 the moment "
+                        "it answers)")
+    p.add_argument("--poll-interval", type=float, default=300.0,
+                   help="seconds between --wait probes")
     p.add_argument("--json", action="store_true")
     p.set_defaults(fn=_cmd_doctor)
 
