@@ -173,26 +173,32 @@ def _stream_groups(pred, paths, group_size, shape_bucket, denoise_rate,
             return (-(-shape[0] // b) * b, -(-shape[1] // b) * b)
         return shape[:2]
 
-    # one in-flight dispatched group: group k's D2H fetch + host writes
-    # overlap group k+1's device compute + the NEXT file decodes
-    pending: list = []  # [(paths, handle)]
+    # one in-flight dispatched group, with prep + H2D upload + dispatch
+    # in a one-slot worker thread: group k's D2H fetch + host writes AND
+    # the next file decodes overlap group k+1's upload and group k's
+    # device compute (two-stage pipeline, same as denoise_group)
+    from concurrent.futures import ThreadPoolExecutor
+
+    pending: list = []  # [(paths, Future[handle])]
+    ex = ThreadPoolExecutor(max_workers=1)
 
     def _drain():
         while pending:
-            grp_paths, handle = pending.pop(0)
-            for p, out in zip(grp_paths, pred.fetch_group(handle)):
+            grp_paths, fut = pending.pop(0)
+            for p, out in zip(grp_paths, pred.fetch_group(fut.result())):
                 write(p, out)
 
     def _flush(items):
         imgs = [im for _, im in items]
         if getattr(pred, "scan_eligible", lambda *_: False)(imgs,
                                                             group_size):
-            handle = pred.dispatch_group(imgs, denoise_rate=denoise_rate)
+            fut = ex.submit(pred.dispatch_group, imgs,
+                            denoise_rate=denoise_rate)
             done = pending[:]
             pending.clear()
-            pending.append(([p for p, _ in items], handle))
-            for grp_paths, h in done:
-                for p, out in zip(grp_paths, pred.fetch_group(h)):
+            pending.append(([p for p, _ in items], fut))
+            for grp_paths, f in done:
+                for p, out in zip(grp_paths, pred.fetch_group(f.result())):
                     write(p, out)
             return
         _drain()
@@ -201,20 +207,23 @@ def _stream_groups(pred, paths, group_size, shape_bucket, denoise_rate,
         for (p, _), out in zip(items, outs):
             write(p, out)
 
-    buffers: dict[tuple, list] = {}
-    for p in paths:
-        img = read(p)
-        if img is None:
-            continue
-        buf = buffers.setdefault(_key(img.shape), [])
-        buf.append((p, img))
-        if len(buf) == group_size:
-            _flush(buf)
-            buf.clear()
-    for buf in buffers.values():
-        if buf:
-            _flush(buf)
-    _drain()
+    try:
+        buffers: dict[tuple, list] = {}
+        for p in paths:
+            img = read(p)
+            if img is None:
+                continue
+            buf = buffers.setdefault(_key(img.shape), [])
+            buf.append((p, img))
+            if len(buf) == group_size:
+                _flush(buf)
+                buf.clear()
+        for buf in buffers.values():
+            if buf:
+                _flush(buf)
+        _drain()
+    finally:
+        ex.shutdown(wait=True)
 
 
 def _cmd_serve(args) -> int:

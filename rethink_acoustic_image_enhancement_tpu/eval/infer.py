@@ -264,43 +264,45 @@ class TeacherPredictor:
                 return [self(im, denoise_rate, zero_mask=zero_mask)
                         for im in imgs_rgb]
 
-        if not hasattr(self, "_scan_apply"):
-            def scan_fwd(params, imgs, rates):
-                def body(_, xs):
-                    i, r = xs
-                    return None, self._forward(params, i, r)
-
-                _, outs = jax.lax.scan(body, None, (imgs, rates))
-                return outs
-
-            self._scan_apply = jax.jit(scan_fwd)
+        full_end = (len(imgs_rgb) // group_size) * group_size
+        groups = [imgs_rgb[b:b + group_size]
+                  for b in range(0, full_end, group_size)]
+        tail = imgs_rgb[full_end:]
 
         results: list[dict] = []
         pending = None
-        for base in range(0, len(imgs_rgb), group_size):
-            chunk = imgs_rgb[base:base + group_size]
-            if len(chunk) != group_size:
-                # short tail: a different scan length would retrace and pay
-                # minutes of remote compile to serve a few images — the
-                # per-image program is already compiled (or cheaper to)
+        # two-stage pipeline: a one-slot worker thread preps (pad/stack)
+        # and UPLOADS group k+1 while group k computes on device and
+        # group k-1's D2H fetch + host post-processing run on the main
+        # thread. jax device_put is thread-safe and H2D overlaps device
+        # compute (the training DevicePrefetcher relies on the same);
+        # numerics are identical — the worker runs the exact host path
+        # dispatch_group would.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            fut = (ex.submit(self._prep_and_upload, groups[0], denoise_rate)
+                   if groups else None)
+            for i in range(len(groups)):
+                uploaded = fut.result()
+                fut = (ex.submit(self._prep_and_upload, groups[i + 1],
+                                 denoise_rate)
+                       if i + 1 < len(groups) else None)
+                handle = self._dispatch_uploaded(uploaded)
+                # the previous group's fetch + post-processing overlap
+                # this group's device compute (jax dispatch is async) —
+                # VERDICT r2 #6a
                 if pending is not None:
                     results.extend(self.fetch_group(pending,
                                                     zero_mask=zero_mask))
-                    pending = None
-                results.extend(self(im, denoise_rate, zero_mask=zero_mask)
-                               for im in chunk)
-                continue
-            handle = self.dispatch_group(chunk, denoise_rate)
-            # pipelined serving: the previous group's D2H fetch + host
-            # post-processing overlap with this group's device compute
-            # (jax dispatch is async) — VERDICT r2 #6a, hides the ~20 ms
-            # uint8 fetch under the ~110 ms compute per 512px group
-            if pending is not None:
-                results.extend(self.fetch_group(pending,
-                                                zero_mask=zero_mask))
-            pending = handle
+                pending = handle
         if pending is not None:
             results.extend(self.fetch_group(pending, zero_mask=zero_mask))
+        # short tail: a different scan length would retrace and pay
+        # minutes of remote compile to serve a few images — the
+        # per-image program is already compiled (or cheaper to)
+        results.extend(self(im, denoise_rate, zero_mask=zero_mask)
+                       for im in tail)
         return results
 
     def scan_eligible(self, imgs: list[np.ndarray],
@@ -319,21 +321,12 @@ class TeacherPredictor:
                    for im in imgs}
         return len(targets) == 1
 
-    def dispatch_group(self, chunk: list[np.ndarray],
-                       denoise_rate: float = 1.0):
-        """Asynchronously dispatch one scan group; returns an opaque
-        handle for ``fetch_group``. Caller guarantees the chunk is
-        scan-eligible (uniform bucketed shape, full group)."""
-        if not hasattr(self, "_scan_apply"):
-            def scan_fwd(params, imgs, rates):
-                def body(_, xs):
-                    i, r = xs
-                    return None, self._forward(params, i, r)
-
-                _, outs = jax.lax.scan(body, None, (imgs, rates))
-                return outs
-
-            self._scan_apply = jax.jit(scan_fwd)
+    def _prep_and_upload(self, chunk: list[np.ndarray],
+                         denoise_rate: float):
+        """Host prep (normalize/pad/stack) + H2D upload of one scan group.
+        Thread-safe: runs in the upload-prefetch worker so group k+1's
+        ~20 ms/img H2D rides under group k's device compute. Returns the
+        (possibly dtype-normalized) chunk plus device-resident inputs."""
         m = self.shape_bucket or self.multiple_of
         target_h = max(_round_up(im.shape[0], m) for im in chunk)
         target_w = max(_round_up(im.shape[1], m) for im in chunk)
@@ -351,11 +344,34 @@ class TeacherPredictor:
         # per-image SCALAR rates; the (H, W, 1) plane the model wants is
         # broadcast on device — shipping it cost 1 fp32/px of pure H2D
         rates = np.full((len(chunk),), denoise_rate, np.float32)
-        hqs, srs = self._scan_apply(self.params,
-                                    jnp.asarray(x) if x.dtype == np.uint8
-                                    else jnp.asarray(x, self.dtype),
-                                    jnp.asarray(rates, self.dtype))
-        return (chunk, hqs, srs)
+        return (chunk,
+                jnp.asarray(x) if x.dtype == np.uint8
+                else jnp.asarray(x, self.dtype),
+                jnp.asarray(rates, self.dtype))
+
+    def _dispatch_uploaded(self, uploaded):
+        """Dispatch one scan group whose inputs already live on device."""
+        if not hasattr(self, "_scan_apply"):
+            def scan_fwd(params, imgs, rates):
+                def body(_, xs):
+                    i, r = xs
+                    return None, self._forward(params, i, r)
+
+                _, outs = jax.lax.scan(body, None, (imgs, rates))
+                return outs
+
+            self._scan_apply = jax.jit(scan_fwd)
+        norm_chunk, x_dev, rates_dev = uploaded
+        hqs, srs = self._scan_apply(self.params, x_dev, rates_dev)
+        return (norm_chunk, hqs, srs)
+
+    def dispatch_group(self, chunk: list[np.ndarray],
+                       denoise_rate: float = 1.0):
+        """Asynchronously dispatch one scan group; returns an opaque
+        handle for ``fetch_group``. Caller guarantees the chunk is
+        scan-eligible (uniform bucketed shape, full group)."""
+        return self._dispatch_uploaded(
+            self._prep_and_upload(chunk, denoise_rate))
 
     def fetch_group(self, handle, zero_mask: bool = True) -> list[dict]:
         """Fetch + post-process a dispatched group (D2H boundary)."""
