@@ -503,12 +503,21 @@ class ASDQEScorer:
                 return self.model.apply(variables, lq, gt)
         return self.model.apply(variables, lq, gt)
 
-    def __call__(self, lq: np.ndarray, gt: np.ndarray) -> np.ndarray:
-        """lq/gt: (H, W, 3) or (B, H, W, 3), float32 [0,1] or uint8
-        (1 byte/px H2D, in-jit /255 — exact in fp32); returns (B,)."""
+    def upload(self, lq: np.ndarray, gt: np.ndarray):
+        """H2D of one pair (thread-safe; used by the score pipeline to
+        prefetch pair k+1's upload under pair k's device compute)."""
         if lq.ndim == 3:
             lq, gt = lq[None], gt[None]
         ship = lambda x: (jnp.asarray(x) if x.dtype == np.uint8
                           else jnp.asarray(x, self.dtype))
-        scores = self._apply(self.variables, ship(lq), ship(gt))
-        return np.asarray(scores).reshape(-1)
+        return ship(lq), ship(gt)
+
+    def dispatch(self, uploaded) -> jnp.ndarray:
+        """Asynchronously score an ``upload``-ed pair; the returned device
+        array resolves under np.asarray (the D2H fetch boundary)."""
+        return self._apply(self.variables, *uploaded)
+
+    def __call__(self, lq: np.ndarray, gt: np.ndarray) -> np.ndarray:
+        """lq/gt: (H, W, 3) or (B, H, W, 3), float32 [0,1] or uint8
+        (1 byte/px H2D, in-jit /255 — exact in fp32); returns (B,)."""
+        return np.asarray(self.dispatch(self.upload(lq, gt))).reshape(-1)

@@ -290,3 +290,38 @@ def test_asdqe_scorer_uint8_boundary_score_parity():
     s_u8 = scorer(lq, gt)
     s_f = scorer(lq.astype(np.float32) / 255.0, gt.astype(np.float32) / 255.0)
     np.testing.assert_allclose(s_u8, s_f, atol=2e-6)
+
+
+def test_pipelined_score_method_bit_identical(tmp_path):
+    """score_method's upload-prefetch pipeline must be bit-identical to
+    sequential scorer calls — same jitted program, only the host-side
+    overlap changes (asdqe_eval.score_method)."""
+    from rethink_acoustic_image_enhancement_tpu.eval.asdqe_eval import (
+        score_method,
+    )
+    from rethink_acoustic_image_enhancement_tpu.utils.image_io import (
+        imread_rgb_ubyte,
+        imwrite,
+    )
+
+    model = DenoiseRatePredictor(dim=4)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, 3)),
+                           jnp.zeros((1, 32, 32, 3)))
+    scorer = ASDQEScorer(variables=variables, model=model)
+
+    lq_dir, gt_dir = tmp_path / "lq", tmp_path / "gt"
+    lq_dir.mkdir(), gt_dir.mkdir()
+    rng = np.random.default_rng(7)
+    for i in range(5):
+        imwrite(str(lq_dir / f"im{i}.png"),
+                rng.integers(0, 256, (40, 48, 3), dtype=np.uint8))
+        imwrite(str(gt_dir / f"im{i}.png"),
+                rng.integers(0, 256, (40, 48, 3), dtype=np.uint8))
+
+    piped = score_method(scorer, str(lq_dir), str(gt_dir), verbose=False)
+    seq = np.asarray([
+        scorer(imread_rgb_ubyte(str(lq_dir / f"im{i}.png")),
+               imread_rgb_ubyte(str(gt_dir / f"im{i}.png")))[0]
+        for i in range(5)], np.float64)
+    np.testing.assert_array_equal(piped, seq)
