@@ -65,6 +65,10 @@ def _cmd_train_asdqe(args) -> int:
     standalone-and-broken Train/ASDQE.py script — SURVEY.md §2.7)."""
     from .train.asdqe_trainer import train_asdqe
 
+    if not args.param and not args.device_resident:
+        print("error: --param is required unless --device-resident",
+              file=sys.stderr)
+        return 2
     result = train_asdqe(
         {"dataroot_lq": args.lq, "dataroot_gt": args.gt,
          "dataroot_param": args.param, "geometric_augs": True,
@@ -72,7 +76,10 @@ def _cmd_train_asdqe(args) -> int:
         lr=args.lr, epochs=args.epochs, batch_size=args.batch_size,
         accumulation_steps=args.accum, gt_size=args.gt_size,
         seed=args.seed, out_dir=args.out,
-        max_steps_per_epoch=args.max_steps_per_epoch)
+        max_steps_per_epoch=args.max_steps_per_epoch,
+        h2d_uint8=(args.h2d == "uint8"),
+        device_resident=args.device_resident,
+        steps_per_epoch=args.steps_per_epoch)
     import math
 
     finite = [h["val_mse"] for h in result["history"]
@@ -486,7 +493,9 @@ def main(argv=None) -> int:
     p = sub.add_parser("train-asdqe", help="ASDQE quality-scorer training")
     p.add_argument("--lq", required=True, help="noisy-image dir")
     p.add_argument("--gt", required=True, help="result-image dir")
-    p.add_argument("--param", required=True, help="per-image JSON score dir")
+    p.add_argument("--param", default=None,
+                   help="per-image JSON score dir (unused with "
+                        "--device-resident, where score = mix rate)")
     p.add_argument("--out", required=True, help="checkpoint output dir")
     p.add_argument("--epochs", type=int, default=10)
     p.add_argument("--lr", type=float, default=1e-3)
@@ -495,6 +504,14 @@ def main(argv=None) -> int:
     p.add_argument("--gt-size", type=int, default=256)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max-steps-per-epoch", type=int, default=None)
+    p.add_argument("--h2d", choices=("uint8", "f32"), default="uint8",
+                   help="device input boundary (uint8 = 4x less transfer)")
+    p.add_argument("--device-resident", action="store_true",
+                   help="generate graded candidates in HBM "
+                        "(SIQADeviceCorpus; per-iter H2D = key + ids)")
+    p.add_argument("--steps-per-epoch", type=int, default=None,
+                   help="virtual epoch size for --device-resident "
+                        "(default: one optimizer update, i.e. --accum)")
     p.set_defaults(fn=_cmd_train_asdqe)
 
     p = sub.add_parser("test", help="config-driven offline eval")

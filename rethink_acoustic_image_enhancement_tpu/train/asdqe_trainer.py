@@ -60,7 +60,13 @@ def make_asdqe_train_step(model: DenoiseRatePredictor,
     @jax.jit
     def step(params, batch_stats, opt_state, lq, gt, score, rng, lr_scale):
         def loss_fn(p):
-            cast = (lambda t: t.astype(compute_dtype)) if compute_dtype else (lambda t: t)
+            def cast(t):
+                # uint8 H2D boundary: divide in f32 FIRST, then cast —
+                # a direct bf16 divide perturbs inputs by a ulp (see
+                # eval/infer.py _forward and CLAUDE.md)
+                if t.dtype == jnp.uint8:
+                    t = t.astype(jnp.float32) / 255.0
+                return t.astype(compute_dtype) if compute_dtype else t
             out, mutated = model.apply(
                 {"params": p, "batch_stats": batch_stats},
                 cast(lq), cast(gt), train=True,
@@ -91,8 +97,26 @@ def train_asdqe(
     compute_dtype=jnp.bfloat16,
     log: Callable[[str], None] = print,
     max_steps_per_epoch: int | None = None,
+    h2d_uint8: bool = True,
+    device_resident: bool = False,
+    steps_per_epoch: int | None = None,
 ) -> dict[str, Any]:
-    """Train the scorer; returns {'params', 'batch_stats', 'history'}."""
+    """Train the scorer; returns {'params', 'batch_stats', 'history'}.
+
+    ``device_resident=True`` feeds from :class:`SIQADeviceCorpus`
+    (graded candidates generated in HBM; per-iter H2D = key + ids) with
+    an 80/20 SOURCE-level split — stronger than the reference's
+    random_split over triplets, which leaks each source image across
+    train and val. ``steps_per_epoch`` (default ``accumulation_steps``,
+    i.e. one optimizer update per epoch) sizes the virtual epoch.
+    """
+    if device_resident:
+        return _train_asdqe_device_resident(
+            dataset_opt, lr=lr, epochs=epochs, batch_size=batch_size,
+            accumulation_steps=accumulation_steps, gt_size=gt_size,
+            seed=seed, out_dir=out_dir, compute_dtype=compute_dtype,
+            log=log, steps_per_epoch=steps_per_epoch)
+
     model = DenoiseRatePredictor()
     rng = jax.random.PRNGKey(seed)
     params_rng, dropout_rng = jax.random.split(rng)
@@ -126,6 +150,48 @@ def train_asdqe(
     step_fn = make_asdqe_train_step(model, tx, compute_dtype)
     plateau = ReduceLROnPlateau()
 
+    # uint8 H2D boundary: the SIQA crops come from uint8 decodes and the
+    # augs are flips/rot90, so rint(img*255) round-trips losslessly —
+    # 4x less transfer AND 4x less exposure to the tunnel client's
+    # per-H2D host leak (CLAUDE.md) on long runs
+    def _ship(a: np.ndarray):
+        if h2d_uint8:
+            a = np.rint(np.asarray(a) * 255.0).astype(np.uint8)
+        return jnp.asarray(a)
+
+    def _device_batches(loader):
+        """One-slot upload prefetch: batch k+1's host pack + H2D rides
+        under batch k's device compute (the serve-pipeline pattern,
+        eval/infer.py)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        def up(b):
+            return (_ship(b["lq"]["img"]), _ship(b["gt"]["hq"]),
+                    jnp.asarray(b["lq"]["score"]))
+
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            it = iter(loader)
+            try:
+                fut = ex.submit(up, next(it))
+            except StopIteration:
+                return
+            while fut is not None:
+                cur = fut.result()
+                try:
+                    fut = ex.submit(up, next(it))
+                except StopIteration:
+                    fut = None
+                yield cur
+
+    def _eval(p, bs, lq, gt):
+        if lq.dtype == jnp.uint8:  # same boundary as the train step
+            lq = lq.astype(jnp.float32) / 255.0
+            gt = gt.astype(jnp.float32) / 255.0
+        return model.apply({"params": p, "batch_stats": bs},
+                           lq, gt).reshape(-1)
+
+    eval_fn = jax.jit(_eval)
+
     history = []
     best_val = float("inf")
     for epoch in range(epochs):
@@ -135,15 +201,12 @@ def train_asdqe(
             num_workers=2, drop_last=True)
         train_loader.set_epoch(epoch)
         losses = []
-        for k, batch in enumerate(train_loader):
+        for k, (lq, gt, score) in enumerate(_device_batches(train_loader)):
             if max_steps_per_epoch and k >= max_steps_per_epoch:
                 break
             dropout_rng, sub = jax.random.split(dropout_rng)
             params, batch_stats, opt_state, loss = step_fn(
-                params, batch_stats, opt_state,
-                jnp.asarray(batch["lq"]["img"]),
-                jnp.asarray(batch["gt"]["hq"]),
-                jnp.asarray(batch["lq"]["score"]),
+                params, batch_stats, opt_state, lq, gt, score,
                 sub, jnp.asarray(plateau.scale, jnp.float32))
             losses.append(float(loss))
 
@@ -153,16 +216,107 @@ def train_asdqe(
             _Subset(dataset, val_idx), batch_size,
             EnlargedShuffleSampler(len(val_idx), shuffle=False),
             num_workers=2, drop_last=False)
-        eval_fn = jax.jit(lambda p, bs, lq, gt: model.apply(
-            {"params": p, "batch_stats": bs}, lq, gt).reshape(-1))
-        for k, batch in enumerate(val_loader):
+        for k, (lq, gt, score) in enumerate(_device_batches(val_loader)):
             if max_steps_per_epoch and k >= max_steps_per_epoch:
                 break
-            pred = eval_fn(params, batch_stats,
-                           jnp.asarray(batch["lq"]["img"]),
-                           jnp.asarray(batch["gt"]["hq"]))
-            val_losses.append(float(jnp.mean(jnp.square(
-                pred - jnp.asarray(batch["lq"]["score"])))))
+            pred = eval_fn(params, batch_stats, lq, gt)
+            val_losses.append(float(jnp.mean(
+                jnp.square(pred - score))))
+        train_l = float(np.mean(losses)) if losses else float("nan")
+        val_l = float(np.mean(val_losses)) if val_losses else float("nan")
+        plateau.step(val_l)
+        history.append({"epoch": epoch, "train_mse": train_l,
+                        "val_mse": val_l, "lr_scale": plateau.scale})
+        log(f"[asdqe] epoch {epoch}: train_mse={train_l:.5f} "
+            f"val_mse={val_l:.5f} lr_scale={plateau.scale:.3f}")
+        if out_dir:
+            save_weights(out_dir, epoch, {"params": params,
+                                          "batch_stats": batch_stats})
+            if val_l < best_val:
+                best_val = val_l
+                save_weights(out_dir, "best", {"params": params,
+                                               "batch_stats": batch_stats})
+
+    return {"params": params, "batch_stats": batch_stats, "history": history}
+
+
+def _train_asdqe_device_resident(
+    dataset_opt: dict,
+    lr: float,
+    epochs: int,
+    batch_size: int,
+    accumulation_steps: int,
+    gt_size: int | None,
+    seed: int,
+    out_dir: str | None,
+    compute_dtype,
+    log: Callable[[str], None],
+    steps_per_epoch: int | None,
+) -> dict[str, Any]:
+    """Device-resident ASDQE training: SIQADeviceCorpus batches, source-
+    level 80/20 split, deterministic held-out val set (fixed key), same
+    step/optimizer/plateau/checkpoint semantics as the host path."""
+    from .device_corpus import SIQADeviceCorpus
+
+    model = DenoiseRatePredictor()
+    rng = jax.random.PRNGKey(seed)
+    params_rng, dropout_rng, data_rng, val_rng = jax.random.split(rng, 4)
+    variables = jax.jit(model.init)(
+        params_rng, jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 32, 32, 3)))
+    params, batch_stats = variables["params"], variables["batch_stats"]
+
+    corpus = SIQADeviceCorpus(
+        dict(dataset_opt, gt_size=gt_size, phase="train"))
+    log(f"[asdqe] device-resident corpus: {corpus.describe()}")
+    n_src = len(corpus)
+    split = np.random.default_rng(seed).permutation(n_src)
+    n_train = max(1, int(0.8 * n_src))
+    train_src = split[:n_train]
+    val_src = split[n_train:] if n_train < n_src else split[-1:]
+
+    spe = int(steps_per_epoch or accumulation_steps)
+    n_val_batches = max(1, (len(val_src) * 13) // batch_size)
+
+    base_tx = optax.adam(lr)
+    tx = optax.MultiSteps(base_tx, every_k_schedule=accumulation_steps)
+    opt_state = tx.init(params)
+    step_fn = make_asdqe_train_step(model, tx, compute_dtype)
+    plateau = ReduceLROnPlateau()
+
+    def _eval(p, bs, lq, gt):
+        return model.apply({"params": p, "batch_stats": bs},
+                           lq, gt).reshape(-1)
+
+    eval_fn = jax.jit(_eval)
+
+    # deterministic held-out set: fixed ids + fixed corpus key per batch
+    # (same crops/lambdas every epoch -> a clean plateau-LR signal)
+    val_ids = [np.random.default_rng(seed + 1 + b).choice(
+        val_src, size=batch_size) for b in range(n_val_batches)]
+    val_keys = [jax.random.fold_in(val_rng, b) for b in range(n_val_batches)]
+
+    history = []
+    best_val = float("inf")
+    for epoch in range(epochs):
+        host_rng = np.random.default_rng(seed + 7919 * (epoch + 1))
+        losses = []
+        for k in range(spe):
+            data_rng, k_data = jax.random.split(data_rng)
+            ids = host_rng.choice(train_src, size=batch_size)
+            lq, cand, score = corpus.sample_batch(k_data, ids, gt_size)
+            dropout_rng, sub = jax.random.split(dropout_rng)
+            params, batch_stats, opt_state, loss = step_fn(
+                params, batch_stats, opt_state, lq, cand, score,
+                sub, jnp.asarray(plateau.scale, jnp.float32))
+            losses.append(float(loss))
+
+        val_losses = []
+        for b in range(n_val_batches):
+            lq, cand, score = corpus.sample_batch(val_keys[b], val_ids[b],
+                                                  gt_size)
+            pred = eval_fn(params, batch_stats, lq, cand)
+            val_losses.append(float(jnp.mean(jnp.square(pred - score))))
+
         train_l = float(np.mean(losses)) if losses else float("nan")
         val_l = float(np.mean(val_losses)) if val_losses else float("nan")
         plateau.step(val_l)

@@ -43,3 +43,32 @@ def test_train_asdqe_smoke(tmp_path):
     assert np.isfinite(hist[-1]["train_mse"])
     assert np.isfinite(hist[-1]["val_mse"])
     assert "batch_stats" in result
+
+
+def test_train_asdqe_h2d_uint8_parity(tmp_path):
+    """The uint8 H2D boundary is value-preserving for uint8-decoded
+    corpora: the in-jit f32 /255 matches host imread values to <=1 ulp
+    (XLA lowers the division differently from numpy — measured 6e-8 max
+    over all 256 levels — so bitwise equality is NOT attainable; the
+    histories must agree to loss-level tolerance instead)."""
+    root = tmp_path / "data"
+    for sub in ["lq", "gt", "params"]:
+        os.makedirs(root / sub)
+    for i in range(8):
+        rng = np.random.default_rng(100 + i)
+        img = (rng.uniform(0, 1, (40, 40, 3)) * 255).astype(np.uint8)
+        imwrite(str(root / "lq" / f"{i}.png"), img)
+        imwrite(str(root / "gt" / f"{i}.png"),
+                np.clip(img.astype(np.int32) + 9, 0, 255).astype(np.uint8))
+        (root / "params" / f"{i}.json").write_text(
+            json.dumps({"score": float(0.125 * i)}))
+
+    opt = {"dataroot_lq": str(root / "lq"), "dataroot_gt": str(root / "gt"),
+           "dataroot_param": str(root / "params")}
+    kw = dict(epochs=1, batch_size=2, accumulation_steps=2, gt_size=40,
+              compute_dtype=None, log=lambda m: None, max_steps_per_epoch=2)
+    h_u8 = train_asdqe(opt, h2d_uint8=True, **kw)["history"]
+    h_f32 = train_asdqe(opt, h2d_uint8=False, **kw)["history"]
+    assert abs(h_u8[0]["train_mse"] - h_f32[0]["train_mse"]) < 1e-4
+    assert abs(h_u8[0]["val_mse"] - h_f32[0]["val_mse"]) < 5e-3
+    assert h_u8[0]["lr_scale"] == h_f32[0]["lr_scale"]

@@ -400,3 +400,87 @@ def test_mesh_sharded_sampling_matches_unmeshed(corpus_root, teacher_root):
     np.testing.assert_array_equal(np.asarray(g0["sr"]), np.asarray(gm["sr"]))
     assert lm["img"].sharding.is_equivalent_to(
         NamedSharding(mesh, P(DATA_AXIS)), lm["img"].ndim)
+
+
+# ---------------------------------------------------------------- SIQA --
+@pytest.fixture(scope="module")
+def siqa_root(tmp_path_factory):
+    """(origin, denoised) source pairs of mixed sizes."""
+    root = tmp_path_factory.mktemp("siqa_src")
+    for sub in ("origin", "denoised"):
+        os.makedirs(root / sub)
+    for i, hw in enumerate([(40, 52), (48, 40), (56, 56)]):
+        rng = np.random.default_rng(i)
+        lq = (rng.uniform(0, 1, hw + (3,)) * 255).astype(np.uint8)
+        dn = np.clip(lq.astype(np.int32) + 40, 0, 255).astype(np.uint8)
+        imwrite(str(root / "origin" / f"{i:03d}.png"), lq)
+        imwrite(str(root / "denoised" / f"{i:03d}.png"), dn)
+    return root
+
+
+def test_siqa_corpus_mix_semantics(siqa_root):
+    """score=lambda parameterizes the candidate exactly: the candidate
+    minus the origin crop equals lambda * (denoised - origin)."""
+    from rethink_acoustic_image_enhancement_tpu.train.device_corpus import (
+        SIQADeviceCorpus,
+    )
+
+    corpus = SIQADeviceCorpus({"dataroot_lq": str(siqa_root / "origin"),
+                               "dataroot_gt": str(siqa_root / "denoised"),
+                               "gt_size": 32})
+    assert len(corpus) == 3
+    key = jax.random.PRNGKey(0)
+    lq, cand, score = corpus.sample_batch(key, [0, 1, 2, 0], gt_size=32)
+    assert lq.shape == (4, 32, 32, 3) and cand.shape == (4, 32, 32, 3)
+    assert score.shape == (4,)
+    s = np.asarray(score)
+    assert np.all((s >= 0.0) & (s <= 1.0))
+    # the sources differ by a constant +40/255 wherever unclipped; the
+    # mix must reproduce score * that delta
+    delta = np.asarray(cand) - np.asarray(lq)
+    for b in range(4):
+        inter = delta[b][np.asarray(lq)[b] < (215.0 / 255.0)]
+        assert np.allclose(inter, s[b] * 40.0 / 255.0, atol=1e-5)
+    # determinism per key
+    lq2, cand2, score2 = corpus.sample_batch(key, [0, 1, 2, 0], gt_size=32)
+    assert np.array_equal(np.asarray(lq), np.asarray(lq2))
+    assert np.array_equal(np.asarray(score), np.asarray(score2))
+
+
+def test_siqa_corpus_aug_is_synchronized(siqa_root):
+    """With geometric_augs, lq and candidate get the SAME flip/rot —
+    the mix identity survives augmentation."""
+    from rethink_acoustic_image_enhancement_tpu.train.device_corpus import (
+        SIQADeviceCorpus,
+    )
+
+    corpus = SIQADeviceCorpus({"dataroot_lq": str(siqa_root / "origin"),
+                               "dataroot_gt": str(siqa_root / "denoised"),
+                               "gt_size": 32, "geometric_augs": True})
+    lq, cand, score = corpus.sample_batch(
+        jax.random.PRNGKey(3), list(range(3)) * 8, gt_size=32)
+    delta = np.asarray(cand) - np.asarray(lq)
+    s = np.asarray(score)
+    for b in range(delta.shape[0]):
+        inter = delta[b][np.asarray(lq)[b] < (215.0 / 255.0)]
+        assert np.allclose(inter, s[b] * 40.0 / 255.0, atol=1e-5)
+
+
+def test_train_asdqe_device_resident(siqa_root, tmp_path):
+    from rethink_acoustic_image_enhancement_tpu.train.asdqe_trainer import (
+        train_asdqe,
+    )
+
+    result = train_asdqe(
+        {"dataroot_lq": str(siqa_root / "origin"),
+         "dataroot_gt": str(siqa_root / "denoised"),
+         "geometric_augs": True},
+        epochs=2, batch_size=2, accumulation_steps=2, gt_size=32,
+        compute_dtype=None, log=lambda m: None,
+        device_resident=True, steps_per_epoch=3,
+        out_dir=str(tmp_path / "ckpt"))
+    hist = result["history"]
+    assert len(hist) == 2
+    assert np.isfinite(hist[-1]["train_mse"])
+    assert np.isfinite(hist[-1]["val_mse"])
+    assert os.path.isdir(str(tmp_path / "ckpt"))
