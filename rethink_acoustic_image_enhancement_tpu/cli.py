@@ -159,14 +159,28 @@ def _cmd_infer_teacher(args) -> int:
 
 
 def _stream_groups(pred, paths, group_size, shape_bucket, denoise_rate,
-                   write, read=None) -> None:
+                   write, read=None, depth: int = 2) -> None:
     """Serving-group streaming: images sharing a compiled shape run
     through scan dispatches (bit-identical to per-image; see
     TeacherPredictor.denoise_group). Buffers hold at most group_size
-    decoded images per distinct shape — constant memory on arbitrarily
-    large folders. ``read(path) -> image | None`` is injectable; a None
-    skips the file (the serve daemon uses this to survive mid-copy or
-    corrupt inputs)."""
+    decoded images per distinct shape (+ ``depth`` groups in flight) —
+    constant memory on arbitrarily large folders. ``read(path) ->
+    image | None`` is injectable; a None skips the file (the serve
+    daemon uses this to survive mid-copy or corrupt inputs).
+
+    Four-stage pipeline over three host threads + the device:
+
+      main: decode group k+2          (file IO + PNG decode)
+      up-worker: prep + H2D + dispatch group k+1
+      device: compute group k
+      fw-worker: D2H fetch + PNG encode/write group k-1
+
+    The D2H fetch must wait for group k-1's compute, so on the main
+    thread it serializes with everything else (the measured residual of
+    the two-stage pipeline: ~70 ms/img of fetch+encode+write at 512px);
+    in its own worker it rides under group k's compute. ``depth`` bounds
+    in-flight fetch groups (backpressure + error propagation); depth=0
+    reproduces the serialized behavior for A/B."""
     from .utils.image_io import imread_rgb_ubyte
 
     # uint8 decode: the predictor ships 1 byte/px and converts in-jit
@@ -180,33 +194,30 @@ def _stream_groups(pred, paths, group_size, shape_bucket, denoise_rate,
             return (-(-shape[0] // b) * b, -(-shape[1] // b) * b)
         return shape[:2]
 
-    # one in-flight dispatched group, with prep + H2D upload + dispatch
-    # in a one-slot worker thread: group k's D2H fetch + host writes AND
-    # the next file decodes overlap group k+1's upload and group k's
-    # device compute (two-stage pipeline, same as denoise_group)
     from concurrent.futures import ThreadPoolExecutor
 
-    pending: list = []  # [(paths, Future[handle])]
-    ex = ThreadPoolExecutor(max_workers=1)
+    up_ex = ThreadPoolExecutor(max_workers=1)
+    fw_ex = ThreadPoolExecutor(max_workers=1)
+    pending: list = []  # fetch+write futures, oldest first
+
+    def _fetch_write(grp_paths, fut):
+        for p, out in zip(grp_paths, pred.fetch_group(fut.result())):
+            write(p, out)
 
     def _drain():
         while pending:
-            grp_paths, fut = pending.pop(0)
-            for p, out in zip(grp_paths, pred.fetch_group(fut.result())):
-                write(p, out)
+            pending.pop(0).result()
 
     def _flush(items):
         imgs = [im for _, im in items]
         if getattr(pred, "scan_eligible", lambda *_: False)(imgs,
                                                             group_size):
-            fut = ex.submit(pred.dispatch_group, imgs,
-                            denoise_rate=denoise_rate)
-            done = pending[:]
-            pending.clear()
-            pending.append(([p for p, _ in items], fut))
-            for grp_paths, f in done:
-                for p, out in zip(grp_paths, pred.fetch_group(f.result())):
-                    write(p, out)
+            fut = up_ex.submit(pred.dispatch_group, imgs,
+                               denoise_rate=denoise_rate)
+            pending.append(fw_ex.submit(_fetch_write,
+                                        [p for p, _ in items], fut))
+            while len(pending) > max(depth, 0):
+                pending.pop(0).result()
             return
         _drain()
         outs = pred.denoise_group(imgs, denoise_rate=denoise_rate,
@@ -230,7 +241,8 @@ def _stream_groups(pred, paths, group_size, shape_bucket, denoise_rate,
                 _flush(buf)
         _drain()
     finally:
-        ex.shutdown(wait=True)
+        up_ex.shutdown(wait=True)
+        fw_ex.shutdown(wait=True)
 
 
 def _cmd_serve(args) -> int:

@@ -72,3 +72,41 @@ def test_train_asdqe_h2d_uint8_parity(tmp_path):
     assert abs(h_u8[0]["train_mse"] - h_f32[0]["train_mse"]) < 1e-4
     assert abs(h_u8[0]["val_mse"] - h_f32[0]["val_mse"]) < 5e-3
     assert h_u8[0]["lr_scale"] == h_f32[0]["lr_scale"]
+
+
+def test_remat_is_exact():
+    """remat=True (block-level jax.checkpoint, used by the trainers to
+    fit the reference's b32@512 step in HBM) changes NOTHING numerically:
+    same param tree, same outputs, same grads, same BN stats update."""
+    import jax
+    import jax.numpy as jnp
+
+    from rethink_acoustic_image_enhancement_tpu.models.asdqe import (
+        DenoiseRatePredictor,
+    )
+
+    rng = jax.random.PRNGKey(0)
+    lq = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    gt = jax.random.uniform(jax.random.PRNGKey(2), (2, 32, 32, 3))
+    base = DenoiseRatePredictor(remat=False)
+    remat = DenoiseRatePredictor(remat=True)
+    variables = base.init(rng, lq, gt)
+    assert jax.tree.structure(variables) == jax.tree.structure(
+        remat.init(rng, lq, gt))
+
+    def loss(model, p):
+        out, mut = model.apply(
+            {"params": p, "batch_stats": variables["batch_stats"]},
+            lq, gt, train=True, mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(3)})
+        return jnp.sum(out ** 2), mut["batch_stats"]
+
+    (l0, bs0), g0 = jax.value_and_grad(
+        lambda p: loss(base, p), has_aux=True)(variables["params"])
+    (l1, bs1), g1 = jax.value_and_grad(
+        lambda p: loss(remat, p), has_aux=True)(variables["params"])
+    assert float(l0) == float(l1)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), g0, g1)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), bs0, bs1)

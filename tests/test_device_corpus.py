@@ -432,15 +432,19 @@ def test_siqa_corpus_mix_semantics(siqa_root):
     key = jax.random.PRNGKey(0)
     lq, cand, score = corpus.sample_batch(key, [0, 1, 2, 0], gt_size=32)
     assert lq.shape == (4, 32, 32, 3) and cand.shape == (4, 32, 32, 3)
+    # uint8 batches: what the disk corpus stores (PNG-quantized mixes)
+    # and a quarter of the train step's argument HBM
+    assert lq.dtype == jnp.uint8 and cand.dtype == jnp.uint8
     assert score.shape == (4,)
     s = np.asarray(score)
     assert np.all((s >= 0.0) & (s <= 1.0))
-    # the sources differ by a constant +40/255 wherever unclipped; the
-    # mix must reproduce score * that delta
-    delta = np.asarray(cand) - np.asarray(lq)
+    # the sources differ by a constant +40 wherever unclipped; the mix
+    # must reproduce score * that delta (to uint8 quantization)
+    delta = (np.asarray(cand).astype(np.float32)
+             - np.asarray(lq).astype(np.float32))
     for b in range(4):
-        inter = delta[b][np.asarray(lq)[b] < (215.0 / 255.0)]
-        assert np.allclose(inter, s[b] * 40.0 / 255.0, atol=1e-5)
+        inter = delta[b][np.asarray(lq)[b] < 215]
+        assert np.allclose(inter, s[b] * 40.0, atol=0.51)
     # determinism per key
     lq2, cand2, score2 = corpus.sample_batch(key, [0, 1, 2, 0], gt_size=32)
     assert np.array_equal(np.asarray(lq), np.asarray(lq2))
@@ -459,11 +463,12 @@ def test_siqa_corpus_aug_is_synchronized(siqa_root):
                                "gt_size": 32, "geometric_augs": True})
     lq, cand, score = corpus.sample_batch(
         jax.random.PRNGKey(3), list(range(3)) * 8, gt_size=32)
-    delta = np.asarray(cand) - np.asarray(lq)
+    delta = (np.asarray(cand).astype(np.float32)
+             - np.asarray(lq).astype(np.float32))
     s = np.asarray(score)
     for b in range(delta.shape[0]):
-        inter = delta[b][np.asarray(lq)[b] < (215.0 / 255.0)]
-        assert np.allclose(inter, s[b] * 40.0 / 255.0, atol=1e-5)
+        inter = delta[b][np.asarray(lq)[b] < 215]
+        assert np.allclose(inter, s[b] * 40.0, atol=0.51)
 
 
 def test_train_asdqe_device_resident(siqa_root, tmp_path):
@@ -483,4 +488,7 @@ def test_train_asdqe_device_resident(siqa_root, tmp_path):
     assert len(hist) == 2
     assert np.isfinite(hist[-1]["train_mse"])
     assert np.isfinite(hist[-1]["val_mse"])
+    # regression: a raw-uint8 eval path saturates the scorer to a
+    # constant, freezing val_mse across epochs bit-for-bit
+    assert hist[0]["val_mse"] != hist[1]["val_mse"]
     assert os.path.isdir(str(tmp_path / "ckpt"))

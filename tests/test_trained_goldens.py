@@ -128,3 +128,71 @@ def test_trained_student_matches_reference_released_goldens(student_outputs):
         mse = np.mean((ours - ref) ** 2)
         psnrs.append(10 * np.log10(255.0 ** 2 / mse))
     assert float(np.mean(psnrs)) >= 30.0, psnrs
+
+
+# ------------------------------------------------------------- ASDQE --
+ASDQE_WEIGHTS = os.path.join(REPO, "artifacts/asdqe_full50ep/weights/net_g_best")
+ASDQE_GOLDENS = os.path.join(REPO, "artifacts/asdqe_full50ep/goldens.json")
+
+requires_asdqe_weights = pytest.mark.skipif(
+    not os.path.isdir(ASDQE_WEIGHTS), reason="trained scorer not in repo")
+
+
+@requires_asdqe_weights
+@requires_reference
+def test_trained_asdqe_scorer_recovers_denoise_rate():
+    """The shipped 50-epoch-trained ASDQE scorer (the full reference
+    Train/ASDQE.py budget, driven on-chip — artifacts/asdqe_full50ep/)
+    must (a) reproduce its committed golden scores and (b) actually work
+    as a quality metric: on unseen-center-crop graded candidates
+    (lambda-mixes of origin and reference KDLAE-T golden), scores are
+    monotonic in lambda and recover it to ~0.05."""
+    import json
+
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    from rethink_acoustic_image_enhancement_tpu.eval.infer import ASDQEScorer
+    from rethink_acoustic_image_enhancement_tpu.train.checkpoints import (
+        load_weights,
+    )
+
+    w = load_weights(ASDQE_WEIGHTS, None)
+    inner = w.get("params", w)
+    scorer = ASDQEScorer(variables={
+        "params": jax.tree.map(jnp.asarray, inner["params"]),
+        "batch_stats": jax.tree.map(jnp.asarray, inner["batch_stats"])})
+    fixture = json.load(open(ASDQE_GOLDENS))
+    lams = fixture["lambdas"]
+
+    for name, golden_row in fixture["scores"].items():
+        dset, base = name.split("_", 1)
+        lq = cv2.imread(
+            f"/root/reference/Sample/{dset}/origin/{base}.jpg")
+        if lq is None:
+            lq = cv2.imread(
+                f"/root/reference/Sample/{dset}/origin/{base}.png")
+        dn = cv2.imread(
+            f"/root/reference/Sample/{dset}/denoise/KDLAE-T/{base}.png")
+        if dn is None:
+            dn = cv2.imread(
+                f"/root/reference/Sample/{dset}/denoise/KDLAE-T/{base}.jpg")
+        assert lq is not None and dn is not None, name
+        if dn.shape != lq.shape:
+            dn = cv2.resize(dn, (lq.shape[1], lq.shape[0]),
+                            interpolation=cv2.INTER_CUBIC)
+        # BGR -> RGB uint8, center 512 crop (the golden-generation recipe)
+        lq = lq[..., ::-1].astype(np.float32)
+        dn = dn[..., ::-1].astype(np.float32)
+        h, wdt = lq.shape[:2]
+        t, l = max(0, (h - 512) // 2), max(0, (wdt - 512) // 2)
+        lq_c, dn_c = lq[t:t + 512, l:l + 512], dn[t:t + 512, l:l + 512]
+        scores = []
+        for lam in lams:
+            cand = np.rint(lam * dn_c + (1 - lam) * lq_c).astype(np.uint8)
+            scores.append(float(np.asarray(
+                scorer(lq_c.astype(np.uint8), cand)).reshape(-1)[0]))
+        assert np.allclose(scores, golden_row, atol=2e-3), (name, scores)
+        assert all(b > a for a, b in zip(scores, scores[1:])), (name, scores)
+        assert np.max(np.abs(np.asarray(scores) - np.asarray(lams))) < 0.08
