@@ -10,6 +10,7 @@ Inception, or a domain-specific embedding like ASDQE's pooled features).
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Iterable
 
 import numpy as np
@@ -62,11 +63,14 @@ def make_asdqe_feature_fn(params=None, batch_stats=None, seed: int = 0):
     with lq = gt = batch so the diff branch is silent.
 
     Pass trained ASDQE ``params``/``batch_stats`` (orbax or converted
-    .pth) for a quality-aware feature space; with none given, a
-    seeded-random ASDQE is used — untrained-CNN FID features are a known
-    valid substitute when no pretrained embedding exists, and the fixed
-    seed keeps scores comparable across runs. The ``feature_fn`` slot of
-    ``extract_features`` stays pluggable for Inception et al.
+    .pth) for a quality-aware feature space. With none given, the
+    in-repo TRAINED scorer (artifacts/asdqe_full50ep/weights — the full
+    reference Train/ASDQE.py budget driven on-chip) is used when
+    present; failing that, a seeded-random ASDQE — untrained-CNN FID
+    features are a known valid substitute when no pretrained embedding
+    exists, and the fixed seed keeps scores comparable across runs. The
+    ``feature_fn`` slot of ``extract_features`` stays pluggable for
+    Inception et al.
     """
     import jax
     import jax.numpy as jnp
@@ -74,6 +78,18 @@ def make_asdqe_feature_fn(params=None, batch_stats=None, seed: int = 0):
     from ..models.asdqe import DenoiseRatePredictor
 
     model = DenoiseRatePredictor()
+    if params is None:
+        shipped = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))),
+            "artifacts", "asdqe_full50ep", "weights", "net_g_best")
+        if os.path.isdir(shipped):
+            from ..train.checkpoints import load_weights
+
+            inner = load_weights(shipped, None)
+            inner = inner.get("params", inner)
+            params = jax.tree.map(jnp.asarray, inner["params"])
+            batch_stats = jax.tree.map(jnp.asarray, inner["batch_stats"])
     if params is None:
         x0 = jnp.zeros((1, 32, 32, 3))
         variables = model.init(jax.random.PRNGKey(seed), x0, x0)
