@@ -380,6 +380,15 @@ def _cmd_score(args) -> int:
     from .eval.asdqe_eval import default_methods, run_asdqe_eval
     from .eval.infer import ASDQEScorer
 
+    if not args.weights:  # default: the shipped trained scorer
+        shipped = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "artifacts", "asdqe_full50ep",
+            "weights", "net_g_best")
+        if not os.path.isdir(shipped):
+            print("error: no --weights given and the in-repo trained "
+                  "scorer is absent", file=sys.stderr)
+            return 2
+        args.weights = shipped
     if args.weights.endswith(".pth"):
         from .train.checkpoints import load_reference_pth
 
@@ -578,7 +587,10 @@ def main(argv=None) -> int:
     p.set_defaults(fn=_cmd_infer_student)
 
     p = sub.add_parser("score", help="ASDQE scoring protocol")
-    p.add_argument("--weights", required=True)
+    p.add_argument("--weights", default=None,
+                   help="scorer checkpoint (orbax dir or .pth); default: "
+                        "the in-repo trained scorer "
+                        "(artifacts/asdqe_full50ep/weights/net_g_best)")
     p.add_argument("--sample-root", default="Sample")
     p.add_argument("--dataset", default="MDD")
     p.add_argument("--lq-dir", default=None)
