@@ -69,6 +69,19 @@ def _cmd_train_asdqe(args) -> int:
         print("error: --param is required unless --device-resident",
               file=sys.stderr)
         return 2
+    tracker = None
+    if args.swanlab_project:
+        # swanlab experiment logging of the reference ASDQE trainer
+        # (Train/ASDQE.py:71-84) — lib-gated: degrades to a warning +
+        # no-op when the swanlab package is not installed
+        from .utils.tracking import RemoteTracker
+
+        tracker = RemoteTracker(
+            "swanlab", args.swanlab_project, run_name="train-asdqe",
+            config={"learning_rate": args.lr, "batch_size": args.batch_size,
+                    "epochs": args.epochs, "optimizer": "Adam",
+                    "loss_function": "MSE",
+                    "model_architecture": "DenoiseRatePredictor"})
     result = train_asdqe(
         {"dataroot_lq": args.lq, "dataroot_gt": args.gt,
          "dataroot_param": args.param, "geometric_augs": True,
@@ -79,7 +92,8 @@ def _cmd_train_asdqe(args) -> int:
         max_steps_per_epoch=args.max_steps_per_epoch,
         h2d_uint8=(args.h2d == "uint8"),
         device_resident=args.device_resident,
-        steps_per_epoch=args.steps_per_epoch)
+        steps_per_epoch=args.steps_per_epoch,
+        tracker=tracker)
     import math
 
     finite = [h["val_mse"] for h in result["history"]
@@ -243,6 +257,18 @@ def _stream_groups(pred, paths, group_size, shape_bucket, denoise_rate,
     finally:
         up_ex.shutdown(wait=True)
         fw_ex.shutdown(wait=True)
+        # After an earlier exception, futures still in `pending` were only
+        # awaited by the shutdowns above, which swallow their results —
+        # surface any secondary failures (e.g. a write error) instead of
+        # silently dropping groups (ADVICE r3 #3). The first exception
+        # (propagating through this finally) stays primary; secondaries
+        # are logged.
+        for fut in pending:
+            try:
+                fut.result()
+            except Exception as e:  # noqa: BLE001 - report, don't mask
+                print(f"serve: pending group also failed: {e!r}",
+                      file=sys.stderr)
 
 
 def _cmd_serve(args) -> int:
@@ -380,37 +406,29 @@ def _cmd_score(args) -> int:
     from .eval.asdqe_eval import default_methods, run_asdqe_eval
     from .eval.infer import ASDQEScorer
 
-    if not args.weights:  # default: the shipped trained scorer
-        shipped = os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "artifacts", "asdqe_full50ep",
-            "weights", "net_g_best")
-        if not os.path.isdir(shipped):
-            print("error: no --weights given and the in-repo trained "
-                  "scorer is absent", file=sys.stderr)
-            return 2
-        args.weights = shipped
-    if args.weights.endswith(".pth"):
+    if args.weights and args.weights.endswith(".pth"):
         from .train.checkpoints import load_reference_pth
 
         params, batch_stats = load_reference_pth(
             args.weights, "DenoiseRatePredictor", param_key=None)
+        import jax.numpy as jnp
+
+        params = jax.tree.map(jnp.asarray, params)
+        batch_stats = jax.tree.map(jnp.asarray, batch_stats)
     else:
-        from .train.checkpoints import load_weights
+        # orbax checkpoint, or (no --weights) the shipped trained scorer;
+        # load_asdqe_weights owns the payload-layout unwrap (ADVICE r3 #4)
+        from .train.checkpoints import load_asdqe_weights
 
-        restored = load_weights(args.weights, None)
-        # train-asdqe saves save_weights(dir, step, {'params', 'batch_stats'}),
-        # which lands nested under the payload's 'params' key; accept both
-        # that layout and a flat {'params', 'batch_stats'} payload.
-        inner = restored.get("params", restored)
-        if "batch_stats" in inner:
-            params, batch_stats = inner["params"], inner["batch_stats"]
-        else:
-            params, batch_stats = restored["params"], restored["batch_stats"]
-    import jax.numpy as jnp
-
+        loaded = load_asdqe_weights(args.weights or None)
+        if loaded is None:
+            print(f"error: checkpoint not found: "
+                  f"{args.weights or 'no --weights given and the in-repo '
+                     'trained scorer is absent'}", file=sys.stderr)
+            return 2
+        params, batch_stats = loaded
     scorer = ASDQEScorer(variables={
-        "params": jax.tree.map(jnp.asarray, params),
-        "batch_stats": jax.tree.map(jnp.asarray, batch_stats)})
+        "params": params, "batch_stats": batch_stats})
 
     if args.methods:
         methods = dict(m.split("=", 1) for m in args.methods)
@@ -530,6 +548,9 @@ def main(argv=None) -> int:
     p.add_argument("--device-resident", action="store_true",
                    help="generate graded candidates in HBM "
                         "(SIQADeviceCorpus; per-iter H2D = key + ids)")
+    p.add_argument("--swanlab-project", default=None,
+                   help="log per-epoch metrics to this swanlab project "
+                        "(Train/ASDQE.py:71-84 analog; lib-gated)")
     p.add_argument("--steps-per-epoch", type=int, default=None,
                    help="virtual epoch size for --device-resident "
                         "(default: one optimizer update, i.e. --accum)")

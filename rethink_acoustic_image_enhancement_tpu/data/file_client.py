@@ -55,7 +55,11 @@ class LmdbBackend:
         return client.get(str(filepath))
 
 
-class MemcachedBackend:  # pragma: no cover - needs a memcached deployment
+class MemcachedBackend:
+    """`mc`-protocol backend (file_client.py:20-60). No deployment exists
+    in this image; the protocol is covered by tests/test_memcached_backend
+    through a fake `mc` module injected via ``sys_path``."""
+
     def __init__(self, server_list_cfg, client_cfg, sys_path=None):
         if sys_path is not None:
             import sys

@@ -61,36 +61,72 @@ def _data_path(path: str) -> str:
     return osp.join(path, "data.mdb") if osp.isdir(path) else path
 
 
+class LmdbError(ValueError):
+    """Malformed or unsupported LMDB data file. Subclasses ValueError so
+    pre-existing callers that caught ValueError keep working; every defect
+    a corrupted/truncated .mdb can trigger in LmdbReader raises this (never
+    a bare struct.error / IndexError / hang — see tests/test_lmdb_fuzz.py)."""
+
+
+# liblmdb accepts 512..65536-byte pages (mdb_env_open2 clamps); anything
+# else in the env header is corruption.
+_MIN_PSIZE, _MAX_PSIZE = 512, 65536
+
+
 class LmdbReader:
     """Read-only access to one LMDB main database."""
 
     def __init__(self, path: str):
         with open(_data_path(path), "rb") as f:
             self._buf = f.read()
+        if len(self._buf) < 2 * PAGE_SIZE:
+            raise LmdbError(
+                f"{path}: truncated LMDB file ({len(self._buf)} bytes < two "
+                f"{PAGE_SIZE}-byte meta pages)")
         best = None
         for pgno in (0, 1):  # twin meta pages; live one has higher txnid
             off = pgno * PAGE_SIZE + PAGE_HDR
             magic, version, _addr, _mapsize, db0, db1, last_pg, txnid = \
                 _META_ST.unpack_from(self._buf, off)
             if magic != MAGIC:
-                raise ValueError(f"{path}: not an LMDB data file "
-                                 f"(magic {magic:#x})")
+                raise LmdbError(f"{path}: not an LMDB data file "
+                                f"(magic {magic:#x})")
             if version != DATA_VERSION:
-                raise ValueError(f"{path}: LMDB data version {version} "
-                                 f"unsupported (expected {DATA_VERSION})")
+                raise LmdbError(f"{path}: LMDB data version {version} "
+                                f"unsupported (expected {DATA_VERSION})")
             if best is None or txnid >= best[0]:
                 best = (txnid, db0, db1, last_pg)
         _txnid, db0, db1, _last = best
         # free-DB slot 0 doubles as env header: md_pad is the page size
         self._psize = _DB_ST.unpack_from(db0, 0)[0] or PAGE_SIZE
+        if not (_MIN_PSIZE <= self._psize <= _MAX_PSIZE
+                and self._psize & (self._psize - 1) == 0):
+            raise LmdbError(
+                f"{path}: bogus page size {self._psize} in env header")
         (_pad, _flags, self.depth, _b, _l, _o, self.entries,
          self._root) = _DB_ST.unpack_from(db1, 0)
+        self._npages = len(self._buf) // self._psize
+        if self._root != P_INVALID and self._root >= self._npages:
+            raise LmdbError(
+                f"{path}: main-DB root pgno {self._root} beyond file end "
+                f"({self._npages} pages)")
+        # depth bounds every descent/DFS below: a well-formed tree is at
+        # most `depth` levels deep, so following more than that many branch
+        # hops means a cycle or corrupted child pointers.
+        if self._root != P_INVALID and not (1 <= self.depth <= 64):
+            raise LmdbError(f"{path}: bogus B+tree depth {self.depth}")
 
     # ------------------------------------------------------------ pages --
     def _page(self, pgno: int):
+        if pgno >= self._npages:
+            raise LmdbError(f"page pointer {pgno} beyond file end "
+                            f"({self._npages} pages)")
         off = pgno * self._psize
         _pg, _pad, flags, lower, upper = _PAGE_HDR_ST.unpack_from(
             self._buf, off)
+        if not (PAGE_HDR <= lower <= upper <= self._psize):
+            raise LmdbError(f"corrupt page header at pgno {pgno}: "
+                            f"lower={lower} upper={upper}")
         return off, flags, lower, upper
 
     def _numkeys(self, lower: int) -> int:
@@ -100,17 +136,34 @@ class LmdbReader:
         """(key, lo, hi, flags, data_off) of node idx on the page."""
         ptr = struct.unpack_from(
             "<H", self._buf, page_off + PAGE_HDR + 2 * idx)[0]
+        if not (PAGE_HDR <= ptr <= self._psize - 8):
+            raise LmdbError(f"corrupt node pointer {ptr:#x} on page at "
+                            f"offset {page_off:#x}")
         noff = page_off + ptr
         lo, hi, flags, ksize = _NODE_HDR_ST.unpack_from(self._buf, noff)
+        if ptr + 8 + ksize > self._psize:
+            raise LmdbError(f"node key overruns page: ptr={ptr:#x} "
+                            f"ksize={ksize}")
         key = self._buf[noff + 8:noff + 8 + ksize]
         return key, lo, hi, flags, noff + 8 + ksize
 
     def _leaf_value(self, lo, hi, flags, data_off) -> bytes:
         size = lo | (hi << 16)
         if flags & F_BIGDATA:
+            if data_off + 8 > len(self._buf):
+                raise LmdbError("overflow pointer overruns file end")
             ovf_pgno = struct.unpack_from("<Q", self._buf, data_off)[0]
+            if ovf_pgno >= self._npages:
+                raise LmdbError(f"overflow page {ovf_pgno} beyond file end "
+                                f"({self._npages} pages)")
             ovf_off = ovf_pgno * self._psize
+            if ovf_off + PAGE_HDR + size > len(self._buf):
+                raise LmdbError(
+                    f"overflow value ({size} bytes at page {ovf_pgno}) "
+                    f"overruns file end")
             return self._buf[ovf_off + PAGE_HDR:ovf_off + PAGE_HDR + size]
+        if data_off + size > len(self._buf):
+            raise LmdbError(f"inline value ({size} bytes) overruns file end")
         return self._buf[data_off:data_off + size]
 
     # ------------------------------------------------------------- api ---
@@ -120,7 +173,12 @@ class LmdbReader:
         if self._root == P_INVALID:
             return None
         pgno = self._root
+        hops = 0
         while True:
+            hops += 1
+            if hops > 64:  # liblmdb trees never get this deep; cycle guard
+                raise LmdbError("branch descent exceeded 64 levels "
+                                "(corrupt child pointers / cycle)")
             off, flags, lower, upper = self._page(pgno)
             n = self._numkeys(lower)
             if flags & P_BRANCH:
@@ -150,26 +208,34 @@ class LmdbReader:
                         lo_i = mid + 1
                 return None
             else:
-                raise ValueError(f"unexpected page flags {flags:#x} "
-                                 f"at pgno {pgno}")
+                raise LmdbError(f"unexpected page flags {flags:#x} "
+                                f"at pgno {pgno}")
 
     def items(self):
         """Yield (key, value) in key order (DFS over the B+tree)."""
         if self._root == P_INVALID:
             return
         stack = [self._root]
+        visited = 0
         while stack:
             pgno = stack.pop()
+            visited += 1
+            if visited > self._npages:  # each page appears at most once
+                raise LmdbError("B+tree walk visited more pages than the "
+                                "file holds (corrupt child pointers / cycle)")
             off, flags, lower, _upper = self._page(pgno)
             n = self._numkeys(lower)
             if flags & P_BRANCH:
                 for i in reversed(range(n)):
                     _k, nlo, nhi, nfl, _ = self._node(off, i)
                     stack.append(nlo | (nhi << 16) | (nfl << 32))
-            else:
+            elif flags & P_LEAF:
                 for i in range(n):
                     k, nlo, nhi, nfl, doff = self._node(off, i)
                     yield k, self._leaf_value(nlo, nhi, nfl, doff)
+            else:
+                raise LmdbError(f"unexpected page flags {flags:#x} "
+                                f"at pgno {pgno}")
 
     def keys(self):
         return (k for k, _ in self.items())

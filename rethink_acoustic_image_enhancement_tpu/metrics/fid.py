@@ -78,23 +78,24 @@ def make_asdqe_feature_fn(params=None, batch_stats=None, seed: int = 0):
     from ..models.asdqe import DenoiseRatePredictor
 
     model = DenoiseRatePredictor()
+    feature_space = "asdqe-user-params"
     if params is None:
-        shipped = os.path.join(
-            os.path.dirname(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__)))),
-            "artifacts", "asdqe_full50ep", "weights", "net_g_best")
-        if os.path.isdir(shipped):
-            from ..train.checkpoints import load_weights
+        from ..train.checkpoints import load_asdqe_weights, shipped_asdqe_dir
 
-            inner = load_weights(shipped, None)
-            inner = inner.get("params", inner)
-            params = jax.tree.map(jnp.asarray, inner["params"])
-            batch_stats = jax.tree.map(jnp.asarray, inner["batch_stats"])
+        loaded = load_asdqe_weights()
+        if loaded is not None:
+            params, batch_stats = loaded
+            feature_space = f"asdqe-trained({shipped_asdqe_dir()})"
     if params is None:
         x0 = jnp.zeros((1, 32, 32, 3))
         variables = model.init(jax.random.PRNGKey(seed), x0, x0)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
+        feature_space = f"asdqe-seeded-random(seed={seed})"
+    if feature_space != "asdqe-user-params":
+        # which embedding got auto-selected decides whether FID values are
+        # comparable across checkouts — say so (ADVICE r3 #2)
+        print(f"[fid] feature space: {feature_space}")
 
     @jax.jit
     def fwd(x):
@@ -108,6 +109,7 @@ def make_asdqe_feature_fn(params=None, batch_stats=None, seed: int = 0):
             x = x[None]
         return np.asarray(fwd(x))
 
+    feature_fn.feature_space = feature_space  # machine-readable record
     return feature_fn
 
 

@@ -104,6 +104,7 @@ def train_asdqe(
     h2d_uint8: bool = True,
     device_resident: bool = False,
     steps_per_epoch: int | None = None,
+    tracker=None,
 ) -> dict[str, Any]:
     """Train the scorer; returns {'params', 'batch_stats', 'history'}.
 
@@ -113,13 +114,17 @@ def train_asdqe(
     random_split over triplets, which leaks each source image across
     train and val. ``steps_per_epoch`` (default ``accumulation_steps``,
     i.e. one optimizer update per epoch) sizes the virtual epoch.
+
+    ``tracker`` is an optional :class:`utils.tracking.RemoteTracker`
+    receiving per-epoch metrics — the swanlab experiment logging of the
+    reference's ASDQE trainer (Train/ASDQE.py:71-84,128-144).
     """
     if device_resident:
         return _train_asdqe_device_resident(
             dataset_opt, lr=lr, epochs=epochs, batch_size=batch_size,
             accumulation_steps=accumulation_steps, gt_size=gt_size,
             seed=seed, out_dir=out_dir, compute_dtype=compute_dtype,
-            log=log, steps_per_epoch=steps_per_epoch)
+            log=log, steps_per_epoch=steps_per_epoch, tracker=tracker)
 
     model = DenoiseRatePredictor(remat=True, dtype=compute_dtype)
     # remat + computation dtype: fit the reference's b32@512px train
@@ -235,6 +240,11 @@ def train_asdqe(
                         "val_mse": val_l, "lr_scale": plateau.scale})
         log(f"[asdqe] epoch {epoch}: train_mse={train_l:.5f} "
             f"val_mse={val_l:.5f} lr_scale={plateau.scale:.3f}")
+        if tracker is not None:
+            # swanlab-protocol epoch metrics (Train/ASDQE.py:140-144)
+            tracker.log({"train_epoch_mse": train_l, "val_epoch_mse": val_l,
+                         "lr_scale": plateau.scale, "epoch": epoch},
+                        step=epoch)
         if out_dir:
             save_weights(out_dir, epoch, {"params": params,
                                           "batch_stats": batch_stats})
@@ -243,6 +253,8 @@ def train_asdqe(
                 save_weights(out_dir, "best", {"params": params,
                                                "batch_stats": batch_stats})
 
+    if tracker is not None:
+        tracker.finish()
     return {"params": params, "batch_stats": batch_stats, "history": history}
 
 
@@ -258,6 +270,7 @@ def _train_asdqe_device_resident(
     compute_dtype,
     log: Callable[[str], None],
     steps_per_epoch: int | None,
+    tracker=None,
 ) -> dict[str, Any]:
     """Device-resident ASDQE training: SIQADeviceCorpus batches, source-
     level 80/20 split, deterministic held-out val set (fixed key), same
@@ -281,6 +294,15 @@ def _train_asdqe_device_resident(
     n_train = max(1, int(0.8 * n_src))
     train_src = split[:n_train]
     val_src = split[n_train:] if n_train < n_src else split[-1:]
+    if n_train >= n_src:
+        # ADVICE r3: with a single source pair the held-out "val" source
+        # IS the train source — val_mse then measures training fit and
+        # the plateau-LR / best-checkpoint signals are meaningless. Say
+        # so loudly instead of silently contradicting the no-leakage
+        # claim (real corpora should have n_src >= 2).
+        log(f"[asdqe] WARNING: corpus has only {n_src} source pair(s); "
+            "the val source OVERLAPS train — val_mse measures training "
+            "fit, not generalization")
 
     spe = int(steps_per_epoch or accumulation_steps)
     n_val_batches = max(1, (len(val_src) * 13) // batch_size)
@@ -335,6 +357,11 @@ def _train_asdqe_device_resident(
                         "val_mse": val_l, "lr_scale": plateau.scale})
         log(f"[asdqe] epoch {epoch}: train_mse={train_l:.5f} "
             f"val_mse={val_l:.5f} lr_scale={plateau.scale:.3f}")
+        if tracker is not None:
+            # swanlab-protocol epoch metrics (Train/ASDQE.py:140-144)
+            tracker.log({"train_epoch_mse": train_l, "val_epoch_mse": val_l,
+                         "lr_scale": plateau.scale, "epoch": epoch},
+                        step=epoch)
         if out_dir:
             save_weights(out_dir, epoch, {"params": params,
                                           "batch_stats": batch_stats})
@@ -343,4 +370,6 @@ def _train_asdqe_device_resident(
                 save_weights(out_dir, "best", {"params": params,
                                                "batch_stats": batch_stats})
 
+    if tracker is not None:
+        tracker.finish()
     return {"params": params, "batch_stats": batch_stats, "history": history}

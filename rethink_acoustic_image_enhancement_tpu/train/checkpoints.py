@@ -110,6 +110,39 @@ def load_weights(path: str, param_key: str = "params"):
     return restored.get(param_key, restored)
 
 
+def shipped_asdqe_dir() -> str:
+    """Path of the in-repo trained ASDQE scorer (artifacts/asdqe_full50ep
+    — the full reference Train/ASDQE.py 50-epoch budget driven on-chip)."""
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    return os.path.join(repo, "artifacts", "asdqe_full50ep", "weights",
+                        "net_g_best")
+
+
+def load_asdqe_weights(path: str | None = None):
+    """(params, batch_stats) of an ASDQE checkpoint, or None when absent.
+
+    The single place that knows both the shipped-scorer location and the
+    two payload layouts: train-asdqe's ``save_weights(dir, step,
+    {'params', 'batch_stats'})`` nests the dict under the payload's
+    'params' key, while direct saves are flat — callers (`raie score`,
+    the FID default feature space, golden tests) must not re-implement
+    this unwrap (ADVICE r3 #4). Leaves come back as jnp arrays.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    path = path or shipped_asdqe_dir()
+    if not osp.isdir(path):
+        return None
+    restored = load_weights(path, None)
+    inner = restored.get("params", restored)
+    if "batch_stats" not in inner:  # flat {'params','batch_stats'} payload
+        inner = restored
+    return (jax.tree.map(jnp.asarray, inner["params"]),
+            jax.tree.map(jnp.asarray, inner["batch_stats"]))
+
+
 def find_latest_checkpoint(root: str) -> int | None:
     """Auto-resume scan (train.py:171-192): highest-numbered ckpt_* dir."""
     if not osp.isdir(root):

@@ -369,13 +369,20 @@ def train_from_config(opt: dict, mesh=None, max_iters: int | None = None,
             log(f"auto-resumed from iteration {latest}")
 
     log_dir = opt["path"].get("log")
+    # remote experiment tracker (logger.wandb / logger.swanlab project
+    # keys; lib-gated, rank-0 only — the reference's tb->wandb sync,
+    # logger.py:87-105). Off when project is null, like the shipped yamls.
+    from ..utils.tracking import make_tracker
+
+    remote = make_tracker(logger_cfg, opt.get("name", "raie"), config=opt)
     msg_logger = MessageLogger(
         total_iters, start_iter=int(state.step), log=log,
         tb_log_dir=(os.path.join(log_dir, "tb") if log_dir
                     and logger_cfg.get("use_tb_logger") else None),
         # tracker-agnostic metrics sink (wandb/swanlab analog, logger.py:87-105)
         jsonl_path=(os.path.join(log_dir, "metrics.jsonl")
-                    if log_dir and jax.process_index() == 0 else None))
+                    if log_dir and jax.process_index() == 0 else None),
+        remote=remote)
     # the step key is an SPMD-replicated input and MUST be identical on
     # every process (per-example randomness diversifies through the
     # position-dependent bits of the sharded ops, not through the key);
@@ -580,6 +587,10 @@ def train_from_config(opt: dict, mesh=None, max_iters: int | None = None,
                 else:
                     if msg_logger.jsonl is not None:
                         msg_logger.jsonl.write("val", current_iter, scores)
+                    if remote is not None:
+                        remote.log({f"metrics/{k}": v
+                                    for k, v in scores.items()},
+                                   step=current_iter)
                     log(f"validation @ {current_iter}: " + ", ".join(
                         f"{k}={v:.4f}" for k, v in scores.items()))
                 if watchdog is not None:  # validation is a legitimate gap
@@ -597,4 +608,6 @@ def train_from_config(opt: dict, mesh=None, max_iters: int | None = None,
                      state.params, state.ema_params)
         if jax.process_index() == 0:
             log(f"training done @ {current_iter}")
+    if remote is not None:
+        remote.finish()
     return state

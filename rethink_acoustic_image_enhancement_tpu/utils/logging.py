@@ -70,12 +70,17 @@ class MessageLogger:
     def __init__(self, total_iters: int, start_iter: int = 0,
                  log: Callable[[str], None] | None = None,
                  tb_log_dir: str | None = None,
-                 jsonl_path: str | None = None):
+                 jsonl_path: str | None = None,
+                 remote=None):
         self.total_iters = total_iters
         self.start_iter = start_iter
         self.start_time = time.time()
         self.log = log or print
         self.jsonl = JsonlMetricsSink(jsonl_path) if jsonl_path else None
+        # Optional utils.tracking.RemoteTracker (wandb/swanlab analog of
+        # the reference's tb->wandb sync, logger.py:87-105); receives the
+        # same tags TensorBoard gets.
+        self.remote = remote
         self._tb = None
         if tb_log_dir:
             # torch-free first (tensorboardX), torch's writer as fallback;
@@ -113,13 +118,17 @@ class MessageLogger:
             eta = per_iter * (self.total_iters - current_iter)
             msg += f"[eta: {_fmt_time(eta)}, time: {iter_time:.3f}, " \
                    f"data_time: {data_time:.3f}] "
+        remote_scalars = {}
         for k, v in metrics.items():
             if k == "lr":
                 continue
             msg += f"{k}: {v:.4e} "
+            tag = k if k.startswith("m_") else f"losses/{k}"
             if self._tb is not None:
-                tag = k if k.startswith("m_") else f"losses/{k}"
                 self._tb.add_scalar(tag, v, current_iter)
+            remote_scalars[tag] = v
+        if self.remote is not None and remote_scalars:
+            self.remote.log(remote_scalars, step=current_iter)
         if self.jsonl is not None:
             self.jsonl.write("train", current_iter, metrics, epoch=epoch,
                              iter_time=iter_time, data_time=data_time)

@@ -19,6 +19,7 @@ from tests.conftest import requires_reference
 
 @requires_reference
 @pytest.mark.parametrize("hw", [(64, 64), (50, 70)])  # non-multiple-of-16 too
+@pytest.mark.fast
 def test_asdqe_forward_parity(torch_asdqe_module, hw):
     import torch
 
@@ -57,6 +58,7 @@ def test_asdqe_forward_parity(torch_asdqe_module, hw):
     np.testing.assert_allclose(score_j, score_t, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.fast
 def test_asdqe_param_count_matches_reference():
     """Default config must have exactly 3,428,705 params (BASELINE.md)."""
     model = DenoiseRatePredictor()

@@ -10,6 +10,8 @@ import pytest
 
 from rethink_acoustic_image_enhancement_tpu.train.config import parse, validate
 
+pytestmark = pytest.mark.fast
+
 CONFIG_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "configs")
 

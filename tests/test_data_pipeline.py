@@ -79,6 +79,7 @@ def test_paired_paths_from_folder_param(teacher_root):
     assert pairs == again
 
 
+@pytest.mark.fast
 def test_multipaths_grouping_and_seeding(frames_root):
     folders = [str(frames_root / "lq"), str(frames_root / "gt")]
     g1 = paired_multipaths_from_folder(folders, ["lq", "gt"], num_pairs=7,
@@ -139,6 +140,7 @@ def test_student_dataset_train_sample(frames_root):
     assert (s["gt"] >= 0).all()
 
 
+@pytest.mark.fast
 def test_sampler_rank_partition():
     s0 = EnlargedShuffleSampler(10, ratio=2, rank=0, world_size=4, seed=5)
     s1 = EnlargedShuffleSampler(10, ratio=2, rank=1, world_size=4, seed=5)
@@ -150,6 +152,7 @@ def test_sampler_rank_partition():
     assert not np.array_equal(i0, s0.epoch_indices(1))
 
 
+@pytest.mark.fast
 def test_batch_loader_and_prefetcher(frames_root):
     ds = PairedMultiImageDataset({
         "dataroot_lq": str(frames_root / "lq"),

@@ -2,6 +2,7 @@
 analog) axis — XLA inserts halo exchanges for spatially-sharded convs."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +39,7 @@ def test_mesh_shapes():
     assert mesh2.shape[DATA_AXIS] == 8
 
 
+@pytest.mark.fast
 def test_spatial_sharding_matches_unsharded():
     """Shard H over 4 devices; conv halo exchange must preserve numerics."""
     model, params = _tiny_teacher()

@@ -14,6 +14,7 @@ from tests.conftest import requires_reference
 @requires_reference
 @pytest.mark.parametrize("residual", [True, False])
 @pytest.mark.parametrize("hidden", [(16, 32, 64), (8, 16, 32, 64)])
+@pytest.mark.fast
 def test_student_forward_parity(torch_kdlae_module, residual, hidden):
     import torch
 
@@ -40,6 +41,7 @@ def test_student_forward_parity(torch_kdlae_module, residual, hidden):
     np.testing.assert_allclose(out_j, out_t, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.fast
 def test_student_param_count_matches_reference():
     """Shipped config (hidden [16,32,64]) must have exactly 294,449 params
     (BASELINE.md)."""

@@ -31,6 +31,7 @@ def _torch_state_numpy(model):
 @requires_reference
 @pytest.mark.parametrize("ln_type", ["BiasFree", "WithBias"])
 @pytest.mark.parametrize("static", ["train", "test"])
+@pytest.mark.fast
 def test_teacher_forward_parity(torch_kdlae_module, ln_type, static):
     import torch
 
@@ -76,6 +77,7 @@ def test_teacher_forward_parity(torch_kdlae_module, ln_type, static):
         assert out_j["sr"] is None and out_t["sr"] is None
 
 
+@pytest.mark.fast
 def test_teacher_param_count_matches_reference():
     """Full notebook config must have exactly 26,882,940 params
     (BASELINE.md; KDLAE_T.ipynb cell 1 config)."""

@@ -150,19 +150,15 @@ def test_trained_asdqe_scorer_recovers_denoise_rate():
     import json
 
     import cv2
-    import jax
-    import jax.numpy as jnp
 
     from rethink_acoustic_image_enhancement_tpu.eval.infer import ASDQEScorer
     from rethink_acoustic_image_enhancement_tpu.train.checkpoints import (
-        load_weights,
+        load_asdqe_weights,
     )
 
-    w = load_weights(ASDQE_WEIGHTS, None)
-    inner = w.get("params", w)
+    params, batch_stats = load_asdqe_weights(ASDQE_WEIGHTS)
     scorer = ASDQEScorer(variables={
-        "params": jax.tree.map(jnp.asarray, inner["params"]),
-        "batch_stats": jax.tree.map(jnp.asarray, inner["batch_stats"])})
+        "params": params, "batch_stats": batch_stats})
     fixture = json.load(open(ASDQE_GOLDENS))
     lams = fixture["lambdas"]
 
