@@ -162,6 +162,18 @@ def _cmd_infer_teacher(args) -> int:
             imwrite(os.path.join(args.output, f"sr_{base}"), out["sr"])
         print(f"{p} -> {os.path.join(args.output, base)}")
 
+    if args.tile:
+        # tiled batched fast path (approximate: per-tile MDTA statistics;
+        # quality-vs-halo study in docs/perf_plan.md + artifacts/tiled_ab)
+        from .utils.image_io import imread_rgb_ubyte
+
+        imgs = [imread_rgb_ubyte(p) for p in paths]
+        outs = pred.denoise_tiled(imgs, denoise_rate=args.denoise_rate,
+                                  tile=args.tile, halo=args.tile_halo)
+        for p, out in zip(paths, outs):
+            write(p, out)
+        return 0
+
     if args.group_size > 1 and len(paths) > 1:
         _stream_groups(pred, paths, args.group_size, args.shape_bucket,
                        args.denoise_rate, write)
@@ -576,6 +588,13 @@ def main(argv=None) -> int:
                    help="round padded sizes up to this grid so mixed-size "
                         "folders share compiled programs (approximate; "
                         "see docs)")
+    p.add_argument("--tile", type=int, default=None,
+                   help="tiled batched serving: split frames into TILE-px "
+                        "interiors batched 8/dispatch (measured 1.36x "
+                        "device throughput at 512px; approximate — "
+                        "per-tile attention stats, see docs/perf_plan.md)")
+    p.add_argument("--tile-halo", type=int, default=8,
+                   help="context ring around each tile interior (px)")
     p.set_defaults(fn=_cmd_infer_teacher)
 
     p = sub.add_parser("serve", help="watch-folder serving daemon")

@@ -140,6 +140,42 @@ def test_infer_teacher_cli_group_mode(tmp_path):
         np.testing.assert_array_equal(a, b)
 
 
+def test_infer_teacher_cli_tile_mode(tmp_path):
+    """infer-teacher --tile drives the tiled batched fast path end to end
+    (approximate by design; the CLI contract is shapes + files written)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rethink_acoustic_image_enhancement_tpu.models import flagship_teacher
+    from rethink_acoustic_image_enhancement_tpu.train.checkpoints import (
+        save_weights,
+    )
+
+    model = flagship_teacher(static="test")
+    params = model.init(
+        jax.random.PRNGKey(0),
+        {"img": jnp.zeros((1, 16, 16, 3)),
+         "denoise_rate": jnp.zeros((1, 16, 16, 1))})["params"]
+    w = save_weights(str(tmp_path / "w"), 0, jax.device_get(params))
+
+    src = tmp_path / "in"
+    os.makedirs(src)
+    rng = np.random.default_rng(1)
+    for i in range(2):
+        img = (rng.uniform(0, 1, (48, 48, 3)) * 255).astype(np.uint8)
+        imwrite(str(src / f"{i}.png"), img)
+
+    out = tmp_path / "out_t"
+    assert main(["infer-teacher", "--weights", w, "--input", str(src),
+                 "--output", str(out), "--tile", "16",
+                 "--tile-halo", "8"]) == 0
+    import cv2
+
+    for i in range(2):
+        a = cv2.imread(str(out / f"{i}.png"))
+        assert a is not None and a.shape == (48, 48, 3)
+
+
 def test_serve_cli_once_idempotent(tmp_path):
     """serve --once drains the backlog, skips already-produced outputs on
     the next invocation (restart-safe), and picks up new files."""

@@ -1,0 +1,78 @@
+"""QUALITY.json scoreboard claims (VERDICT r3 #3).
+
+The scoreboard is regenerated on-chip by scripts/quality_scoreboard.py —
+{trained teacher, student, scorer} x {PSNR, SSIM, ASDQE-stats} against
+the reference's committed golden fixtures (Sample/*/denoise/*,
+ASDQE_test.py:107-133 protocol). This test locks the shipped numbers'
+floor so a regression in models/serving/training shows up as a failing
+claim, not a silently degraded JSON.
+"""
+
+import json
+import os
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PATH = os.path.join(REPO, "QUALITY.json")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isfile(PATH),
+    reason="QUALITY.json not generated (scripts/quality_scoreboard.py)")
+
+
+@pytest.fixture(scope="module")
+def board():
+    return json.load(open(PATH))
+
+
+def test_structure(board):
+    for key in ("teacher_mdd", "student_camus", "student_mdd",
+                "asdqe_stats", "protocol", "generated"):
+        assert key in board, key
+    for key in ("mean_psnr", "mean_ssim", "origin_baseline_mean_psnr",
+                "per_image"):
+        assert key in board["teacher_mdd"], key
+
+
+def test_teacher_beats_origin_on_goldens(board):
+    """The 50k-trained teacher vs Sample/MDD/denoise/KDLAE-T: >= 30 dB
+    mean and a >= 10 dB lift over the no-op origin baseline (measured
+    2026-08-19: 32.2 dB vs 18.5 dB origin; ssim 0.854 vs 0.625)."""
+    t = board["teacher_mdd"]
+    assert t["mean_psnr"] >= 30.0, t["mean_psnr"]
+    assert t["mean_psnr"] >= t["origin_baseline_mean_psnr"] + 10.0
+    assert t["mean_ssim"] >= t["origin_baseline_mean_ssim"] + 0.15
+
+
+def test_student_beats_origin_on_camus_goldens(board):
+    """The 100k-distilled student vs CAMUS KDLAE-S_prob@0.05 goldens
+    (measured: 34.5 dB vs 19.3 origin)."""
+    s = board["student_camus"]
+    assert s["mean_psnr"] >= 30.0, s["mean_psnr"]
+    assert s["mean_psnr"] >= s["origin_baseline_mean_psnr"] + 10.0
+
+
+def test_student_mdd_documented(board):
+    """MDD (sonar) is OUT of the shipped student's training domain — the
+    reference ships separate KDLAE-S-FLS weights for sonar
+    (KDLAE/KDLAE-S.ipynb cell 2 presets). The scoreboard must still
+    carry the row (no silent omission); the floor is the origin
+    baseline, not golden parity."""
+    s = board["student_mdd"]
+    assert s["mean_psnr"] >= s["origin_baseline_mean_psnr"] - 0.5
+
+
+def test_asdqe_protocol_orders_methods(board):
+    """The trained scorer's stats (ASDQE_test.py:107-133) must order
+    origin < ours_student < ours_teacher, and our teacher's MDD score
+    must match the reference-golden teacher row (both ~1.0)."""
+    for dataset in ("MDD", "CAMUS"):
+        stats = board["asdqe_stats"][dataset]
+        assert stats["origin"]["mean"] < 0.1
+        assert stats["origin"]["mean"] < stats["ours_student"]["mean"]
+        if "ours_teacher" in stats:
+            assert stats["ours_student"]["mean"] \
+                <= stats["ours_teacher"]["mean"]
+            assert abs(stats["ours_teacher"]["mean"]
+                       - stats["ref_KDLAE-T"]["mean"]) < 0.01
