@@ -185,7 +185,8 @@ def _cmd_infer_teacher(args) -> int:
 
 
 def _stream_groups(pred, paths, group_size, shape_bucket, denoise_rate,
-                   write, read=None, depth: int = 2) -> None:
+                   write, read=None, depth: int = 4,
+                   fetch_workers: int = 2, upload_workers: int = 1) -> None:
     """Serving-group streaming: images sharing a compiled shape run
     through scan dispatches (bit-identical to per-image; see
     TeacherPredictor.denoise_group). Buffers hold at most group_size
@@ -203,10 +204,15 @@ def _stream_groups(pred, paths, group_size, shape_bucket, denoise_rate,
 
     The D2H fetch must wait for group k-1's compute, so on the main
     thread it serializes with everything else (the measured residual of
-    the two-stage pipeline: ~70 ms/img of fetch+encode+write at 512px);
+    the two-stage pipeline: ~70 ms/img of fetch+encode/write at 512px);
     in its own worker it rides under group k's compute. ``depth`` bounds
     in-flight fetch groups (backpressure + error propagation); depth=0
-    reproduces the serialized behavior for A/B."""
+    reproduces the serialized behavior for A/B. ``fetch_workers`` > 1
+    lets group k-1's PNG encode/write proceed while group k's D2H fetch
+    blocks on compute (the fetch thread is idle-waiting, not working —
+    round-4 A/B: depth4/2fw reached 0.94x of device-side throughput,
+    artifacts/serve_depth_ab/ab.json); ``upload_workers`` is the H2D
+    prep pool (1 is enough — uploads are already fully hidden)."""
     from .utils.image_io import imread_rgb_ubyte
 
     # uint8 decode: the predictor ships 1 byte/px and converts in-jit
@@ -222,8 +228,8 @@ def _stream_groups(pred, paths, group_size, shape_bucket, denoise_rate,
 
     from concurrent.futures import ThreadPoolExecutor
 
-    up_ex = ThreadPoolExecutor(max_workers=1)
-    fw_ex = ThreadPoolExecutor(max_workers=1)
+    up_ex = ThreadPoolExecutor(max_workers=max(1, upload_workers))
+    fw_ex = ThreadPoolExecutor(max_workers=max(1, fetch_workers))
     pending: list = []  # fetch+write futures, oldest first
 
     def _fetch_write(grp_paths, fut):

@@ -367,10 +367,16 @@ class TeacherPredictor:
             tiles = [t.astype(np.float32) / 255.0 if t.dtype == np.uint8
                      else t.astype(np.float32) for t in tiles]
 
-        # ---- batched device pass (static batch: pad the last chunk) ----
+        # ---- batched device pass (static batch: pad the last chunk).
+        # Dispatch EVERY chunk before fetching any: jax dispatch is async,
+        # so chunk k+1's H2D upload and compute overlap chunk k's D2H
+        # fetch — without this the per-chunk round trips serialize and a
+        # faster device program LOSES end-to-end (measured 2x slower
+        # through the tunnel).
         if not hasattr(self, "_tile_apply"):
             self._tile_apply = jax.jit(self._forward)
-        hq_tiles, sr_tiles = [], []
+        rate_dev = jnp.asarray(denoise_rate, self.dtype)
+        handles = []
         for b in range(0, len(tiles), tile_batch):
             chunk = tiles[b:b + tile_batch]
             n = len(chunk)
@@ -379,8 +385,10 @@ class TeacherPredictor:
             x = np.stack(chunk)
             x_dev = (jnp.asarray(x) if x.dtype == np.uint8
                      else jnp.asarray(x, self.dtype))
-            hq, sr = self._tile_apply(
-                self.params, x_dev, jnp.asarray(denoise_rate, self.dtype))
+            handles.append((n, self._tile_apply(self.params, x_dev,
+                                                rate_dev)))
+        hq_tiles, sr_tiles = [], []
+        for n, (hq, sr) in handles:
             hq_tiles.extend(np.asarray(hq[:n]))
             if sr is not None:
                 sr_tiles.extend(np.asarray(sr[:n]))

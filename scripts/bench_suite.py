@@ -98,6 +98,11 @@ def main():
     results["kdlae_t_512_denoise_bf16"] = teacher("test", jnp.bfloat16)
     results["kdlae_t_512_denoise_bf16_scan8"] = teacher(
         "test", jnp.bfloat16, scan=8)
+    # tiled fast path: 2x2 x 256px tiles batched 8/dispatch = 2 images'
+    # worth of tiles per dispatch (the round-4 architectural lever —
+    # quality study in artifacts/tiled_ab; whole-image stays exact)
+    results["kdlae_t_512_denoise_bf16_tiled256_b8"] = teacher(
+        "test", jnp.bfloat16, batch=8, size=256) / 4.0
     results["kdlae_t_512_denoise_bf16_scan8_fused_resample"] = teacher(
         "test", jnp.bfloat16, scan=8, fused_resample=True)
     results["kdlae_t_512_denoise_fp32"] = teacher("test", jnp.float32)
