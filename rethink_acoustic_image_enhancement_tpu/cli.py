@@ -209,10 +209,14 @@ def _stream_groups(pred, paths, group_size, shape_bucket, denoise_rate,
     in-flight fetch groups (backpressure + error propagation); depth=0
     reproduces the serialized behavior for A/B. ``fetch_workers`` > 1
     lets group k-1's PNG encode/write proceed while group k's D2H fetch
-    blocks on compute (the fetch thread is idle-waiting, not working —
-    round-4 A/B: depth4/2fw reached 0.94x of device-side throughput,
-    artifacts/serve_depth_ab/ab.json); ``upload_workers`` is the H2D
-    prep pool (1 is enough — uploads are already fully hidden)."""
+    blocks on compute (the fetch thread is idle-waiting, not working).
+    Round-4 same-session interleaved A/B (32x512px uint8, trained bf16
+    teacher, artifacts/serve_depth_ab/ab.json): r3's depth2/fw1 ran at
+    0.659x of the same-session device-side throughput; depth4/fw1
+    0.727x; depth4/fw2 0.842x (the shipped default); depth6/fw2/up2
+    regressed to 0.75x (dispatch contention) — so ``upload_workers``
+    stays 1. The residual over device-side is tunnel-link transfer that
+    cannot overlap itself (~38 MB/s, absent on a real TPU VM)."""
     from .utils.image_io import imread_rgb_ubyte
 
     # uint8 decode: the predictor ships 1 byte/px and converts in-jit
