@@ -413,10 +413,15 @@ def _cmd_infer_student(args) -> int:
 
     params = _load_params_any(args.weights, "KDLAE_student", args.param_key)
     pred = StudentPredictor(params=params, num_frames=args.frames)
-    out = pred.denoise_folder(args.input, start=args.start)
+    if args.all:
+        out = pred.denoise_all_frames(args.input)
+        first = 0
+    else:
+        out = pred.denoise_folder(args.input, start=args.start)
+        first = args.start
     os.makedirs(args.output, exist_ok=True)
     for f in range(out.shape[0]):
-        path = os.path.join(args.output, f"frame_{args.start + f:04d}.png")
+        path = os.path.join(args.output, f"frame_{first + f:04d}.png")
         imwrite(path, out[f], rgb=False)
     print(f"{out.shape[0]} frames -> {args.output}")
     return 0
@@ -633,6 +638,10 @@ def main(argv=None) -> int:
     p.add_argument("--output", required=True)
     p.add_argument("--frames", type=int, default=7)
     p.add_argument("--start", type=int, default=0)
+    p.add_argument("--all", action="store_true",
+                   help="denoise EVERY frame in the folder (consecutive "
+                        "stacks, overlapping tail) instead of one stack "
+                        "at --start")
     p.add_argument("--param-key", default="params")
     p.set_defaults(fn=_cmd_infer_student)
 

@@ -597,6 +597,34 @@ class StudentPredictor:
     def denoise_folder(self, folder: str, start: int = 0) -> np.ndarray:
         return self(self.load_stack(folder, start))
 
+    def denoise_all_frames(self, folder: str) -> np.ndarray:
+        """Denoise EVERY frame in a folder: consecutive ``num_frames``
+        stacks, with the tail stack overlapping backwards so the last
+        ``len % num_frames`` frames are still covered (each frame's
+        output comes from the FIRST stack containing it — deterministic,
+        unlike the notebook's random single stack). Returns (N, H, W)
+        uint8 in ``list_images`` order."""
+        n = len(list_images(folder))
+        if n < self.num_frames:
+            raise ValueError(
+                f"need {self.num_frames} frames, found {n} in {folder}")
+        frames: dict[int, np.ndarray] = {}
+        start = 0
+        while start < n:
+            s = min(start, n - self.num_frames)
+            out = self.denoise_folder(folder, start=s)
+            for j in range(out.shape[0]):
+                frames.setdefault(s + j, out[j])
+            start = s + self.num_frames
+        shape0 = frames[0].shape
+        if any(f.shape != shape0 for f in frames.values()):
+            # mixed-size folders: each stack resized to ITS first frame
+            # (load_stack semantics) — normalize outputs to frame 0's size
+            frames = {i: resize_area(f, shape0[1], shape0[0])
+                      if f.shape != shape0 else f
+                      for i, f in frames.items()}
+        return np.stack([frames[i] for i in range(n)])
+
 
 @dataclass
 class ASDQEScorer:

@@ -63,6 +63,37 @@ def make_teacher_goldens() -> None:
     print(f"wrote teacher crop goldens to {T_OUT}")
 
 
+FLS_WEIGHTS = os.path.join(
+    REPO, "artifacts/kdlaes_fls100k/weights/net_g_100000")
+FLS_OUT = os.path.join(REPO, "artifacts/kdlaes_fls100k/goldens")
+FLS_FRAMES = "/root/reference/Sample/MDD/origin"
+
+
+def make_fls_goldens() -> None:
+    """MDD (sonar) goldens of the FLS student — the reference ships
+    separate KDLAE-S-FLS weights for sonar (KDLAE-S.ipynb cell 2
+    presets); this is the rebuild's analog, distilled on the MDD
+    corpus."""
+    import cv2
+
+    from rethink_acoustic_image_enhancement_tpu.eval.infer import (
+        StudentPredictor,
+    )
+    from rethink_acoustic_image_enhancement_tpu.models import KDLAEStudent
+    from rethink_acoustic_image_enhancement_tpu.train.checkpoints import (
+        load_weights,
+    )
+
+    pred = StudentPredictor(
+        params=load_weights(FLS_WEIGHTS),
+        model=KDLAEStudent(residual=True, hidden_channels=(16, 32, 64)))
+    out = pred.denoise_folder(FLS_FRAMES, start=0)
+    os.makedirs(FLS_OUT, exist_ok=True)
+    for i in range(out.shape[0]):
+        cv2.imwrite(os.path.join(FLS_OUT, f"mdd_{i:02d}.png"), out[i])
+    print(f"wrote {out.shape[0]} FLS goldens to {FLS_OUT}")
+
+
 def main() -> None:
     import cv2
 
@@ -85,6 +116,8 @@ def main() -> None:
     print(f"wrote {out.shape[0]} goldens to {OUT}")
     if os.path.isdir(T_WEIGHTS):
         make_teacher_goldens()
+    if os.path.isdir(FLS_WEIGHTS):
+        make_fls_goldens()
 
 
 if __name__ == "__main__":

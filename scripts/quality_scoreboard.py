@@ -107,24 +107,23 @@ def student_board(tmp: str, dataset: str) -> dict:
         load_weights,
     )
 
+    # per-domain presets, mirroring the reference's KDLAE-S-US /
+    # KDLAE-S-FLS serving split (KDLAE-S.ipynb cell 2): the US student is
+    # distilled on CAMUS, the FLS student on the MDD sonar corpus
     weights = os.path.join(REPO,
                            "artifacts/kdlaes_full100k/weights/net_g_100000")
+    if dataset == "MDD":
+        fls = os.path.join(REPO,
+                           "artifacts/kdlaes_fls100k/weights/net_g_100000")
+        if os.path.isdir(fls):
+            weights = fls
     pred = StudentPredictor(
         params=load_weights(weights),
         model=KDLAEStudent(residual=True, hidden_channels=(16, 32, 64)))
     origin = os.path.join(SAMPLE, dataset, "origin")
     golden = os.path.join(SAMPLE, dataset, "denoise/KDLAE-S_prob@0.05")
     names = sorted(os.listdir(origin))
-    n = len(names)
-    # cover every frame with 7-frame stacks (overlapping tail stack)
-    frames: dict[int, np.ndarray] = {}
-    start = 0
-    while start < n:
-        s = min(start, n - pred.num_frames)
-        out = pred.denoise_folder(origin, start=s)
-        for j in range(out.shape[0]):
-            frames.setdefault(s + j, out[j])
-        start = s + pred.num_frames
+    frames = pred.denoise_all_frames(origin)
     out_dir = os.path.join(tmp, f"{dataset}_student")
     os.makedirs(out_dir, exist_ok=True)
     rows, base_rows = {}, {}

@@ -80,6 +80,34 @@ def test_student_predictor_on_sample_ultrasound():
     assert out.shape == stack.shape and out.dtype == np.uint8
 
 
+def test_student_denoise_all_frames_covers_folder(tmp_path):
+    """denoise_all_frames: every frame served exactly once via
+    consecutive stacks with an overlapping tail; frames covered by one
+    stack match the corresponding denoise_folder outputs exactly."""
+    import cv2
+
+    model = KDLAEStudent(residual=True, hidden_channels=(16, 32, 64))
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 3, 16, 16)))["params"]
+    pred = StudentPredictor(params=params, model=model, num_frames=3,
+                            multiple_of=4)
+    folder = tmp_path / "frames"
+    os.makedirs(folder)
+    rng = np.random.default_rng(0)
+    for i in range(8):  # 8 frames, num_frames 3 -> stacks at 0, 3, 5
+        cv2.imwrite(str(folder / f"{i:02d}.png"),
+                    (rng.uniform(0, 1, (20, 24)) * 255).astype(np.uint8))
+    out = pred.denoise_all_frames(str(folder))
+    assert out.shape == (8, 20, 24) and out.dtype == np.uint8
+    np.testing.assert_array_equal(
+        out[:3], pred.denoise_folder(str(folder), start=0))
+    np.testing.assert_array_equal(
+        out[3:6], pred.denoise_folder(str(folder), start=3))
+    # tail stack covers frames 5..7; frames 6,7 come from it
+    np.testing.assert_array_equal(
+        out[6:], pred.denoise_folder(str(folder), start=5)[1:])
+
+
 @requires_reference
 def test_asdqe_protocol_parity_on_sample(torch_asdqe_module, tmp_path):
     """Full protocol vs the reference scoring run with the same (random)
