@@ -130,6 +130,52 @@ def test_trained_student_matches_reference_released_goldens(student_outputs):
     assert float(np.mean(psnrs)) >= 30.0, psnrs
 
 
+FLS_WEIGHTS = os.path.join(REPO,
+                           "artifacts/kdlaes_fls100k/weights/net_g_100000")
+FLS_GOLDENS = os.path.join(REPO, "artifacts/kdlaes_fls100k/goldens")
+
+
+@requires_reference
+@pytest.mark.skipif(not os.path.isdir(FLS_WEIGHTS),
+                    reason="FLS student weights not in repo")
+def test_trained_fls_student_matches_shipped_goldens():
+    """The FLS (sonar) student — distilled on the MDD corpus, the
+    rebuild's analog of the reference's KDLAE-S-FLS preset
+    (KDLAE-S.ipynb cell 2) — reproduces its committed MDD goldens and
+    beats the origin baseline against the reference's released-weights
+    KDLAE-T goldens."""
+    import cv2
+
+    from rethink_acoustic_image_enhancement_tpu.eval.infer import (
+        StudentPredictor,
+    )
+    from rethink_acoustic_image_enhancement_tpu.models import KDLAEStudent
+    from rethink_acoustic_image_enhancement_tpu.train.checkpoints import (
+        load_weights,
+    )
+
+    pred = StudentPredictor(
+        params=load_weights(FLS_WEIGHTS),
+        model=KDLAEStudent(residual=True, hidden_channels=(16, 32, 64)))
+    outs = pred.denoise_folder("/root/reference/Sample/MDD/origin", start=0)
+    ref_dir = "/root/reference/Sample/MDD/denoise/KDLAE-T"
+    names = sorted(os.listdir(ref_dir))
+    psnrs, base = [], []
+    for i in range(outs.shape[0]):
+        golden = cv2.imread(os.path.join(FLS_GOLDENS, f"mdd_{i:02d}.png"), 0)
+        assert golden is not None
+        diff = np.abs(outs[i].astype(np.int16) - golden.astype(np.int16))
+        assert diff.max() <= 1 and (diff == 0).mean() > 0.999, f"frame {i}"
+        ref = cv2.imread(os.path.join(ref_dir, names[i]), 0)
+        org = cv2.imread(os.path.join(
+            "/root/reference/Sample/MDD/origin", names[i]), 0)
+        mse = np.mean((outs[i].astype(np.float64) - ref) ** 2)
+        psnrs.append(10 * np.log10(255.0 ** 2 / mse))
+        mse0 = np.mean((org.astype(np.float64) - ref) ** 2)
+        base.append(10 * np.log10(255.0 ** 2 / mse0))
+    assert float(np.mean(psnrs)) >= float(np.mean(base)) + 5.0, (psnrs, base)
+
+
 # ------------------------------------------------------------- ASDQE --
 ASDQE_WEIGHTS = os.path.join(REPO, "artifacts/asdqe_full50ep/weights/net_g_best")
 ASDQE_GOLDENS = os.path.join(REPO, "artifacts/asdqe_full50ep/goldens.json")
