@@ -390,9 +390,25 @@ def _cmd_serve(args) -> int:
                    if not _done(p) and _stable(p)]
         if backlog:
             try:
-                _stream_groups(pred, backlog, args.group_size,
-                               args.shape_bucket, args.denoise_rate, write,
-                               read=safe_read)
+                if args.tile:
+                    # tiled fast path (device-side 1.36x on real VMs;
+                    # approximate — see infer-teacher --tile): bounded
+                    # chunks keep memory flat on large backlogs
+                    for b in range(0, len(backlog), 4 * args.group_size):
+                        chunk = backlog[b:b + 4 * args.group_size]
+                        imgs = [safe_read(p) for p in chunk]
+                        pairs = [(p, im) for p, im in zip(chunk, imgs)
+                                 if im is not None]
+                        outs = pred.denoise_tiled(
+                            [im for _, im in pairs],
+                            denoise_rate=args.denoise_rate,
+                            tile=args.tile, halo=args.tile_halo)
+                        for (p, _), out in zip(pairs, outs):
+                            write(p, out)
+                else:
+                    _stream_groups(pred, backlog, args.group_size,
+                                   args.shape_bucket, args.denoise_rate,
+                                   write, read=safe_read)
             except Exception as exc:
                 # last-resort guard for unattended operation — a transient
                 # XLA/tunnel runtime error must not kill the daemon;
@@ -630,6 +646,9 @@ def main(argv=None) -> int:
                    help="bounded backend probe before starting (a wedged "
                         "accelerator claim would hang the first jit "
                         "forever); 0 disables")
+    p.add_argument("--tile", type=int, default=None,
+                   help="tiled batched serving (see infer-teacher --tile)")
+    p.add_argument("--tile-halo", type=int, default=8)
     p.set_defaults(fn=_cmd_serve)
 
     p = sub.add_parser("infer-student", help="KDLAE-S multi-frame denoise")

@@ -217,6 +217,43 @@ def test_serve_cli_once_idempotent(tmp_path):
         assert (out / f).stat().st_mtime_ns == ts  # untouched
 
 
+def test_serve_cli_tile_mode(tmp_path):
+    """serve --tile routes the backlog through the tiled fast path and
+    stays idempotent across invocations."""
+    import jax
+    import jax.numpy as jnp
+
+    from rethink_acoustic_image_enhancement_tpu.models import flagship_teacher
+    from rethink_acoustic_image_enhancement_tpu.train.checkpoints import (
+        save_weights,
+    )
+
+    model = flagship_teacher(static="test")
+    params = model.init(
+        jax.random.PRNGKey(0),
+        {"img": jnp.zeros((1, 16, 16, 3)),
+         "denoise_rate": jnp.zeros((1, 16, 16, 1))})["params"]
+    w = save_weights(str(tmp_path / "w"), 0, jax.device_get(params))
+
+    watch = tmp_path / "watch"
+    out = tmp_path / "out"
+    os.makedirs(watch)
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        img = (rng.uniform(0, 1, (48, 48, 3)) * 255).astype(np.uint8)
+        imwrite(str(watch / f"{i}.png"), img)
+
+    argv = ["serve", "--weights", w, "--watch", str(watch),
+            "--output", str(out), "--once", "--tile", "16",
+            "--tile-halo", "8"]
+    assert main(argv) == 0
+    assert sorted(os.listdir(out)) == ["0.png", "1.png"]
+    before = {f: (out / f).stat().st_mtime_ns for f in os.listdir(out)}
+    assert main(argv) == 0  # idempotent second pass
+    for f, ts in before.items():
+        assert (out / f).stat().st_mtime_ns == ts
+
+
 def test_train_cli_builds_data_parallel_mesh(tmp_path, capsys):
     """raie train auto-builds a data mesh over all local devices (the
     torchrun-DDP analog); runs a 4-iter student smoke on the 8-virtual-
