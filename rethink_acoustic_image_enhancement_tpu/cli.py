@@ -624,8 +624,11 @@ def main(argv=None) -> int:
                         "interiors batched 8/dispatch (measured 1.36x "
                         "device throughput at 512px; approximate — "
                         "per-tile attention stats, see docs/perf_plan.md)")
-    p.add_argument("--tile-halo", type=int, default=8,
-                   help="context ring around each tile interior (px)")
+    p.add_argument("--tile-halo", type=int, default=0,
+                   help="context ring around each tile interior (px); 0 "
+                        "(default) = full measured speed, golden-"
+                        "equivalent quality; >0 trades throughput for "
+                        "whole-image fidelity (+24% time at 8)")
     p.set_defaults(fn=_cmd_infer_teacher)
 
     p = sub.add_parser("serve", help="watch-folder serving daemon")
@@ -648,7 +651,7 @@ def main(argv=None) -> int:
                         "forever); 0 disables")
     p.add_argument("--tile", type=int, default=None,
                    help="tiled batched serving (see infer-teacher --tile)")
-    p.add_argument("--tile-halo", type=int, default=8)
+    p.add_argument("--tile-halo", type=int, default=0)
     p.set_defaults(fn=_cmd_serve)
 
     p = sub.add_parser("infer-student", help="KDLAE-S multi-frame denoise")

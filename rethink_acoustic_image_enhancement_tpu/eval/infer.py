@@ -308,7 +308,7 @@ class TeacherPredictor:
     # ------------------------------------------------------------ tiled --
     def denoise_tiled(self, imgs_rgb: list[np.ndarray],
                       denoise_rate: float = 1.0, zero_mask: bool = True,
-                      tile: int = 256, halo: int = 8,
+                      tile: int = 256, halo: int = 0,
                       tile_batch: int = 8) -> list[dict]:
         """Tiled batched serving — the measured fast path for large frames.
 
@@ -323,9 +323,14 @@ class TeacherPredictor:
         computed per tile, and conv receptive fields are truncated past
         the halo. Measured on v5e (512px bf16): 8x256px tiles per
         dispatch run at 0.356 us/px vs whole-image 0.485 — a 1.36x
-        throughput win at halo 0 (93 vs 127 ms/512px-image). Quality-vs-
-        halo numbers live in docs/perf_plan.md; whole-image remains the
-        reference-exact default.
+        throughput win at halo 0 (93 vs 127 ms/512px-image). The default
+        halo is 0 — the full win, and golden-equivalent quality on real
+        frames (vs-golden PSNR 31.65 vs 31.73 at halo 8, trained-ASDQE
+        identical; artifacts/tiled_ab). halo > 0 buys whole-image
+        fidelity (+1.7 dB vs-whole at halo 8) but pads the program off
+        the fast 256-dims (+24% time). Quality-vs-halo numbers live in
+        docs/perf_plan.md; whole-image remains the reference-exact
+        default.
         """
         if not imgs_rgb:
             return []

@@ -109,6 +109,10 @@ def main():
     results["kdlae_t_512_denoise_sr_bf16"] = teacher("train", jnp.bfloat16)
     results["kdlae_t_512_denoise_sr_bf16_scan8"] = teacher(
         "train", jnp.bfloat16, scan=8)
+    # the tiled lever holds for the SR-head mode too (same 1.37x ratio —
+    # artifacts/tiled_sr_ab/ab.json)
+    results["kdlae_t_512_denoise_sr_bf16_tiled256_b8"] = teacher(
+        "train", jnp.bfloat16, batch=8, size=256) / 4.0
 
     # ---- student: KDLAE-S batch 32, 7 frames, 256px (CAMUS-scale)
     sm = KDLAEStudent(residual=True, hidden_channels=(16, 32, 64))
