@@ -331,12 +331,35 @@ class TeacherPredictor:
         the fast 256-dims (+24% time). Quality-vs-halo numbers live in
         docs/perf_plan.md; whole-image remains the reference-exact
         default.
+
+        Multi-chip: with a mesh whose 'data' axis is > 1 (spatial and
+        model axes must be 1) the tile batch shards across devices —
+        tiles are independent samples, so the DP split is exact vs
+        single-device (tests/test_tiled_serving.py) and needs no
+        collectives; throughput scales with the axis up to the
+        host-boundary limit.
         """
         if not imgs_rgb:
             return []
+        n_data = 1
         if self.mesh is not None:
-            raise ValueError("tiled serving is a single-device batching "
-                             "mode; use whole-image calls on a mesh")
+            # multi-chip tiled serving: the TILE BATCH shards over the
+            # 'data' mesh axis (tiles are independent samples, so DP is
+            # exact — XLA runs the same per-tile program per device, no
+            # collectives). spatial/model shardings partition ONE image's
+            # compute and belong to the whole-image path.
+            from ..parallel.mesh import DATA_AXIS
+
+            n_data = int(self.mesh.shape[DATA_AXIS])
+            if self._n_spatial > 1 or self._n_model > 1:
+                raise ValueError(
+                    "tiled serving shards the tile batch over the 'data' "
+                    "mesh axis; spatial/model axes apply to whole-image "
+                    "calls only")
+            if tile_batch % n_data:
+                raise ValueError(
+                    f"tile_batch ({tile_batch}) must be divisible by the "
+                    f"mesh 'data' axis size ({n_data})")
         T = tile + 2 * halo
         if tile % self.multiple_of or T % self.multiple_of:
             # the model's pixel-unshuffle stages need /8-divisible inputs
@@ -381,6 +404,18 @@ class TeacherPredictor:
         if not hasattr(self, "_tile_apply"):
             self._tile_apply = jax.jit(self._forward)
         rate_dev = jnp.asarray(denoise_rate, self.dtype)
+        batch_spec = params_used = None
+        if n_data > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import DATA_AXIS, replicated
+
+            if self._placed_params is None:
+                self._placed_params = jax.device_put(
+                    self.params, replicated(self.mesh))
+            params_used = self._placed_params
+            batch_spec = NamedSharding(self.mesh,
+                                       P(DATA_AXIS, None, None, None))
         handles = []
         for b in range(0, len(tiles), tile_batch):
             chunk = tiles[b:b + tile_batch]
@@ -388,10 +423,15 @@ class TeacherPredictor:
             if n < tile_batch:  # keep ONE compiled batch shape
                 chunk = chunk + [chunk[-1]] * (tile_batch - n)
             x = np.stack(chunk)
-            x_dev = (jnp.asarray(x) if x.dtype == np.uint8
-                     else jnp.asarray(x, self.dtype))
-            handles.append((n, self._tile_apply(self.params, x_dev,
-                                                rate_dev)))
+            if x.dtype != np.uint8:
+                x = x.astype(self.dtype)
+            if batch_spec is not None:
+                handles.append((n, self._tile_apply(
+                    params_used, jax.device_put(x, batch_spec), rate_dev)))
+            else:
+                handles.append((n, self._tile_apply(self.params,
+                                                    jnp.asarray(x),
+                                                    rate_dev)))
         hq_tiles, sr_tiles = [], []
         for n, (hq, sr) in handles:
             hq_tiles.extend(np.asarray(hq[:n]))

@@ -118,3 +118,50 @@ def test_tiled_sr_branch_reassembles_at_2x():
     out = pred.denoise_tiled([im], tile=32, halo=4, zero_mask=False)[0]
     assert out["hq"].shape == (64, 64, 3)
     assert out["sr"].shape == (128, 128, 3)
+
+
+def test_tiled_data_mesh_parity(predictor):
+    """A 'data'-axis mesh shards the tile batch across devices; tiles are
+    independent samples so the DP split reproduces the single-device
+    tiled outputs to <=1 uint8 quantization level (the SPMD-partitioned
+    program may fuse the output cast differently — same convention as
+    the tensor-parallel serving parity in test_parallel.py)."""
+    from rethink_acoustic_image_enhancement_tpu.parallel.mesh import (
+        make_mesh,
+    )
+
+    rng = np.random.default_rng(11)
+    imgs = [(rng.uniform(0, 1, (70, 90, 3)) * 255).astype(np.uint8),
+            (rng.uniform(0, 1, (40, 40, 3)) * 255).astype(np.uint8),
+            (rng.uniform(0, 1, (16, 16, 3)) * 255).astype(np.uint8)]
+    # imgs[2] is smaller than a tile -> whole-image fallback under mesh;
+    # the tile count (6+4) is not divisible by tile_batch=4 -> exercises
+    # the padded last chunk under sharding too
+    single = predictor.denoise_tiled(imgs, tile=32, halo=0, tile_batch=4)
+    meshed = TeacherPredictor(params=predictor.params,
+                              model=predictor.model, dtype=jnp.float32,
+                              mesh=make_mesh(n_data=4))
+    sharded = meshed.denoise_tiled(imgs, tile=32, halo=0, tile_batch=4)
+    for a, b in zip(single, sharded):
+        diff = np.abs(a["hq"].astype(np.int16) - b["hq"].astype(np.int16))
+        assert diff.max() <= 1
+        assert (diff > 0).mean() < 1e-3
+
+
+def test_tiled_mesh_validation(predictor):
+    from rethink_acoustic_image_enhancement_tpu.parallel.mesh import (
+        make_mesh,
+    )
+
+    im = (np.random.default_rng(0).uniform(0, 1, (70, 90, 3))
+          * 255).astype(np.uint8)
+    spatial = TeacherPredictor(params=predictor.params,
+                               model=predictor.model, dtype=jnp.float32,
+                               mesh=make_mesh(n_data=2, n_spatial=2))
+    with pytest.raises(ValueError, match="data"):
+        spatial.denoise_tiled([im], tile=32, halo=0)
+    data = TeacherPredictor(params=predictor.params,
+                            model=predictor.model, dtype=jnp.float32,
+                            mesh=make_mesh(n_data=4))
+    with pytest.raises(ValueError, match="divisible"):
+        data.denoise_tiled([im], tile=32, halo=0, tile_batch=6)
