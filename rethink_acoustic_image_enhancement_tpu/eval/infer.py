@@ -416,7 +416,21 @@ class TeacherPredictor:
             params_used = self._placed_params
             batch_spec = NamedSharding(self.mesh,
                                        P(DATA_AXIS, None, None, None))
-        handles = []
+        # Bounded in-flight window: dispatch stays ahead of the fetches
+        # (the overlap that makes the path win e2e) but never holds more
+        # than max_in_flight chunks of device buffers at once, so a
+        # whole-folder call on thousands of images keeps memory flat
+        # (the serve daemon additionally slices its backlog — cli.py).
+        max_in_flight = 16
+        pending: list = []
+        hq_tiles, sr_tiles = [], []
+
+        def _drain_one():
+            n, (hq, sr) = pending.pop(0)
+            hq_tiles.extend(np.asarray(hq[:n]))
+            if sr is not None:
+                sr_tiles.extend(np.asarray(sr[:n]))
+
         for b in range(0, len(tiles), tile_batch):
             chunk = tiles[b:b + tile_batch]
             n = len(chunk)
@@ -426,17 +440,16 @@ class TeacherPredictor:
             if x.dtype != np.uint8:
                 x = x.astype(self.dtype)
             if batch_spec is not None:
-                handles.append((n, self._tile_apply(
+                pending.append((n, self._tile_apply(
                     params_used, jax.device_put(x, batch_spec), rate_dev)))
             else:
-                handles.append((n, self._tile_apply(self.params,
+                pending.append((n, self._tile_apply(self.params,
                                                     jnp.asarray(x),
                                                     rate_dev)))
-        hq_tiles, sr_tiles = [], []
-        for n, (hq, sr) in handles:
-            hq_tiles.extend(np.asarray(hq[:n]))
-            if sr is not None:
-                sr_tiles.extend(np.asarray(sr[:n]))
+            if len(pending) >= max_in_flight:
+                _drain_one()
+        while pending:
+            _drain_one()
 
         # ---- reassemble interiors ----
         tiled_results, k = {}, 0
