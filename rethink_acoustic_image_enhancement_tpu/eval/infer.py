@@ -584,9 +584,28 @@ class StudentPredictor:
     multiple_of: int = 32
     num_frames: int = 7
     dtype: Any = jnp.float32
+    # Optional multi-chip serving: a mesh whose 'data' axis is > 1 shards
+    # the STACK BATCH in denoise_batch across devices (stacks are
+    # independent, so DP is exact — no collectives; same pattern as
+    # TeacherPredictor.denoise_tiled). Spatial/model axes are refused:
+    # the 3D-conv student is small enough that partitioning one stack's
+    # compute never pays.
+    mesh: Any = None
 
     def __post_init__(self):
         self._apply = jax.jit(self._forward)
+        self._placed_params = None
+        self._n_data = 1
+        if self.mesh is not None:
+            from ..parallel.mesh import DATA_AXIS, MODEL_AXIS, SPATIAL_AXIS
+
+            shape = dict(self.mesh.shape)
+            if (int(shape.get(SPATIAL_AXIS, 1)) > 1
+                    or int(shape.get(MODEL_AXIS, 1)) > 1):
+                raise ValueError(
+                    "StudentPredictor serving shards the stack batch over "
+                    "the 'data' mesh axis only")
+            self._n_data = int(shape[DATA_AXIS])
 
     def _forward(self, params, stack):
         if stack.dtype == jnp.uint8:
@@ -621,6 +640,23 @@ class StudentPredictor:
         m = self.multiple_of
         ph, pw = _round_up(h, m) - h, _round_up(w, m) - w
         x = _pad_reflect_np(stacks, ph, pw, axes=(2, 3))
+        if self._n_data > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import DATA_AXIS, replicated
+
+            if self._placed_params is None:
+                self._placed_params = jax.device_put(
+                    self.params, replicated(self.mesh))
+            if b % self._n_data:  # pad to an even split, slice back below
+                reps = self._n_data - b % self._n_data
+                x = np.concatenate([x, np.repeat(x[-1:], reps, axis=0)])
+            if x.dtype != np.uint8:
+                x = x.astype(self.dtype)
+            spec = NamedSharding(self.mesh, P(DATA_AXIS, None, None, None))
+            out = self._apply(self._placed_params,
+                              jax.device_put(x, spec))
+            return np.asarray(out[:b, :, :h, :w])
         out = self._apply(self.params, self._ship(x))
         return np.asarray(out[:, :, :h, :w])
 

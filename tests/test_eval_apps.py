@@ -9,6 +9,7 @@ numbers-parity check against the reference's own scoring pipeline.
 import os
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -353,3 +354,41 @@ def test_pipelined_score_method_bit_identical(tmp_path):
                imread_rgb_ubyte(str(gt_dir / f"im{i}.png")))[0]
         for i in range(5)], np.float64)
     np.testing.assert_array_equal(piped, seq)
+
+
+def test_student_denoise_batch_data_mesh_parity():
+    """A 'data'-axis mesh shards the stack batch across devices; stacks
+    are independent so the DP split matches single-device to <=1 uint8
+    quantization level (same convention as the tiled teacher DP). Batch
+    6 on a 4-way axis exercises the internal pad-to-even-split."""
+    from rethink_acoustic_image_enhancement_tpu.parallel.mesh import (
+        make_mesh,
+    )
+
+    model = KDLAEStudent(residual=True, hidden_channels=(16, 32, 64))
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 3, 16, 16)))["params"]
+    rng = np.random.default_rng(3)
+    stacks = (rng.uniform(0, 1, (6, 3, 40, 48)) * 255).astype(np.uint8)
+    single = StudentPredictor(params=params, model=model, num_frames=3,
+                              multiple_of=4).denoise_batch(stacks)
+    meshed = StudentPredictor(params=params, model=model, num_frames=3,
+                              multiple_of=4,
+                              mesh=make_mesh(n_data=4)).denoise_batch(stacks)
+    assert meshed.shape == single.shape
+    diff = np.abs(single.astype(np.int16) - meshed.astype(np.int16))
+    assert diff.max() <= 1
+    assert (diff > 0).mean() < 1e-3
+
+
+def test_student_mesh_refuses_non_data_axes():
+    from rethink_acoustic_image_enhancement_tpu.parallel.mesh import (
+        make_mesh,
+    )
+
+    model = KDLAEStudent(residual=True, hidden_channels=(16, 32, 64))
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 3, 16, 16)))["params"]
+    with pytest.raises(ValueError, match="data"):
+        StudentPredictor(params=params, model=model,
+                         mesh=make_mesh(n_data=2, n_spatial=2))
