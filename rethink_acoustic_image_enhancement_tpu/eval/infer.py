@@ -732,9 +732,28 @@ class ASDQEScorer:
     variables: Any  # {'params': ..., 'batch_stats': ...}
     model: DenoiseRatePredictor = field(default_factory=DenoiseRatePredictor)
     dtype: Any = jnp.float32
+    # Optional multi-chip serving: a mesh whose 'data' axis is > 1 shards
+    # batched (B, H, W, 3) pairs across devices (pairs are independent —
+    # BN runs in inference mode on frozen batch_stats, so DP is exact; no
+    # collectives). Same pattern as the teacher/student predictors; B
+    # must divide by the axis size (pairs in a scoring folder share a
+    # shape, so callers control B).
+    mesh: Any = None
 
     def __post_init__(self):
         self._apply = jax.jit(self._forward)
+        self._placed_vars = None
+        self._n_data = 1
+        if self.mesh is not None:
+            from ..parallel.mesh import DATA_AXIS, MODEL_AXIS, SPATIAL_AXIS
+
+            shape = dict(self.mesh.shape)
+            if (int(shape.get(SPATIAL_AXIS, 1)) > 1
+                    or int(shape.get(MODEL_AXIS, 1)) > 1):
+                raise ValueError(
+                    "ASDQEScorer serving shards the pair batch over the "
+                    "'data' mesh axis only")
+            self._n_data = int(shape[DATA_AXIS])
 
     def _forward(self, variables, lq, gt):
         if lq.dtype == jnp.uint8:  # uint8 boundary (see TeacherPredictor)
@@ -751,13 +770,33 @@ class ASDQEScorer:
         prefetch pair k+1's upload under pair k's device compute)."""
         if lq.ndim == 3:
             lq, gt = lq[None], gt[None]
-        ship = lambda x: (jnp.asarray(x) if x.dtype == np.uint8
+        if self._n_data > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import DATA_AXIS
+
+            if lq.shape[0] % self._n_data:
+                raise ValueError(
+                    f"pair batch ({lq.shape[0]}) must be divisible by "
+                    f"the mesh 'data' axis size ({self._n_data})")
+            spec = NamedSharding(self.mesh, P(DATA_AXIS, None, None, None))
+            ship = lambda x: jax.device_put(  # noqa: E731
+                x if x.dtype == np.uint8 else x.astype(self.dtype), spec)
+            return ship(lq), ship(gt)
+        ship = lambda x: (jnp.asarray(x) if x.dtype == np.uint8  # noqa: E731
                           else jnp.asarray(x, self.dtype))
         return ship(lq), ship(gt)
 
     def dispatch(self, uploaded) -> jnp.ndarray:
         """Asynchronously score an ``upload``-ed pair; the returned device
         array resolves under np.asarray (the D2H fetch boundary)."""
+        if self._n_data > 1:
+            from ..parallel.mesh import replicated
+
+            if self._placed_vars is None:
+                self._placed_vars = jax.device_put(
+                    self.variables, replicated(self.mesh))
+            return self._apply(self._placed_vars, *uploaded)
         return self._apply(self.variables, *uploaded)
 
     def __call__(self, lq: np.ndarray, gt: np.ndarray) -> np.ndarray:

@@ -392,3 +392,31 @@ def test_student_mesh_refuses_non_data_axes():
     with pytest.raises(ValueError, match="data"):
         StudentPredictor(params=params, model=model,
                          mesh=make_mesh(n_data=2, n_spatial=2))
+
+
+def test_asdqe_scorer_data_mesh_parity():
+    """Batched pair scoring sharded over a 'data' mesh axis matches the
+    single-device scores (BN in inference mode on frozen batch_stats, so
+    DP is exact to fp tolerance)."""
+    from rethink_acoustic_image_enhancement_tpu.parallel.mesh import (
+        make_mesh,
+    )
+
+    model = DenoiseRatePredictor()
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, 3)),
+                           jnp.zeros((1, 32, 32, 3)))
+    rng = np.random.default_rng(7)
+    lq = rng.uniform(0, 1, (4, 48, 48, 3)).astype(np.float32)
+    gt = rng.uniform(0, 1, (4, 48, 48, 3)).astype(np.float32)
+    single = ASDQEScorer(variables=variables, model=model)(lq, gt)
+    meshed = ASDQEScorer(variables=variables, model=model,
+                         mesh=make_mesh(n_data=4))(lq, gt)
+    np.testing.assert_allclose(meshed, single, rtol=1e-5, atol=1e-6)
+    scorer = ASDQEScorer(variables=variables, model=model,
+                         mesh=make_mesh(n_data=4))
+    with pytest.raises(ValueError, match="divisible"):
+        scorer(lq[:3], gt[:3])
+    with pytest.raises(ValueError, match="data"):
+        ASDQEScorer(variables=variables, model=model,
+                    mesh=make_mesh(n_data=2, n_spatial=2))
