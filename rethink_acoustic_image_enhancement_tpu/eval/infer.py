@@ -51,6 +51,30 @@ def _to_ubyte_device(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.rint(x32 * 255.0).astype(jnp.uint8)
 
 
+def _data_axis_size(mesh, who: str) -> int:
+    """Validate a DP-serving mesh — only the 'data' axis may exceed 1
+    (spatial/model axes partition ONE sample's compute and belong to the
+    whole-image serving path) — and return the axis size."""
+    from ..parallel.mesh import DATA_AXIS, MODEL_AXIS, SPATIAL_AXIS
+
+    shape = dict(mesh.shape)
+    if (int(shape.get(SPATIAL_AXIS, 1)) > 1
+            or int(shape.get(MODEL_AXIS, 1)) > 1):
+        raise ValueError(
+            f"{who} shards its batch over the 'data' mesh axis only; "
+            "spatial/model axes are not supported on this path")
+    return int(shape[DATA_AXIS])
+
+
+def _data_batch_put(mesh, x: np.ndarray, dtype):
+    """Upload a host batch sharded over 'data' (uint8 ships as-is and
+    converts in-jit; floats cast to the serving dtype host-side)."""
+    from ..parallel.mesh import batch_sharding
+
+    return jax.device_put(x if x.dtype == np.uint8 else x.astype(dtype),
+                          batch_sharding(mesh))
+
+
 def _pad_reflect_np(x: np.ndarray, ph: int, pw: int, axes=(1, 2)) -> np.ndarray:
     if ph == 0 and pw == 0:
         return x
@@ -346,16 +370,8 @@ class TeacherPredictor:
             # multi-chip tiled serving: the TILE BATCH shards over the
             # 'data' mesh axis (tiles are independent samples, so DP is
             # exact — XLA runs the same per-tile program per device, no
-            # collectives). spatial/model shardings partition ONE image's
-            # compute and belong to the whole-image path.
-            from ..parallel.mesh import DATA_AXIS
-
-            n_data = int(self.mesh.shape[DATA_AXIS])
-            if self._n_spatial > 1 or self._n_model > 1:
-                raise ValueError(
-                    "tiled serving shards the tile batch over the 'data' "
-                    "mesh axis; spatial/model axes apply to whole-image "
-                    "calls only")
+            # collectives).
+            n_data = _data_axis_size(self.mesh, "tiled serving")
             if tile_batch % n_data:
                 raise ValueError(
                     f"tile_batch ({tile_batch}) must be divisible by the "
@@ -404,18 +420,14 @@ class TeacherPredictor:
         if not hasattr(self, "_tile_apply"):
             self._tile_apply = jax.jit(self._forward)
         rate_dev = jnp.asarray(denoise_rate, self.dtype)
-        batch_spec = params_used = None
+        params_used = None
         if n_data > 1:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            from ..parallel.mesh import DATA_AXIS, replicated
+            from ..parallel.mesh import replicated
 
             if self._placed_params is None:
                 self._placed_params = jax.device_put(
                     self.params, replicated(self.mesh))
             params_used = self._placed_params
-            batch_spec = NamedSharding(self.mesh,
-                                       P(DATA_AXIS, None, None, None))
         # Bounded in-flight window: dispatch stays ahead of the fetches
         # (the overlap that makes the path win e2e) but never holds more
         # than max_in_flight chunks of device buffers at once, so a
@@ -439,9 +451,10 @@ class TeacherPredictor:
             x = np.stack(chunk)
             if x.dtype != np.uint8:
                 x = x.astype(self.dtype)
-            if batch_spec is not None:
+            if params_used is not None:
                 pending.append((n, self._tile_apply(
-                    params_used, jax.device_put(x, batch_spec), rate_dev)))
+                    params_used, _data_batch_put(self.mesh, x, self.dtype),
+                    rate_dev)))
             else:
                 pending.append((n, self._tile_apply(self.params,
                                                     jnp.asarray(x),
@@ -595,17 +608,8 @@ class StudentPredictor:
     def __post_init__(self):
         self._apply = jax.jit(self._forward)
         self._placed_params = None
-        self._n_data = 1
-        if self.mesh is not None:
-            from ..parallel.mesh import DATA_AXIS, MODEL_AXIS, SPATIAL_AXIS
-
-            shape = dict(self.mesh.shape)
-            if (int(shape.get(SPATIAL_AXIS, 1)) > 1
-                    or int(shape.get(MODEL_AXIS, 1)) > 1):
-                raise ValueError(
-                    "StudentPredictor serving shards the stack batch over "
-                    "the 'data' mesh axis only")
-            self._n_data = int(shape[DATA_AXIS])
+        self._n_data = (1 if self.mesh is None
+                        else _data_axis_size(self.mesh, "StudentPredictor"))
 
     def _forward(self, params, stack):
         if stack.dtype == jnp.uint8:
@@ -641,9 +645,7 @@ class StudentPredictor:
         ph, pw = _round_up(h, m) - h, _round_up(w, m) - w
         x = _pad_reflect_np(stacks, ph, pw, axes=(2, 3))
         if self._n_data > 1:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            from ..parallel.mesh import DATA_AXIS, replicated
+            from ..parallel.mesh import replicated
 
             if self._placed_params is None:
                 self._placed_params = jax.device_put(
@@ -651,11 +653,8 @@ class StudentPredictor:
             if b % self._n_data:  # pad to an even split, slice back below
                 reps = self._n_data - b % self._n_data
                 x = np.concatenate([x, np.repeat(x[-1:], reps, axis=0)])
-            if x.dtype != np.uint8:
-                x = x.astype(self.dtype)
-            spec = NamedSharding(self.mesh, P(DATA_AXIS, None, None, None))
             out = self._apply(self._placed_params,
-                              jax.device_put(x, spec))
+                              _data_batch_put(self.mesh, x, self.dtype))
             return np.asarray(out[:b, :, :h, :w])
         out = self._apply(self.params, self._ship(x))
         return np.asarray(out[:, :, :h, :w])
@@ -735,25 +734,16 @@ class ASDQEScorer:
     # Optional multi-chip serving: a mesh whose 'data' axis is > 1 shards
     # batched (B, H, W, 3) pairs across devices (pairs are independent —
     # BN runs in inference mode on frozen batch_stats, so DP is exact; no
-    # collectives). Same pattern as the teacher/student predictors; B
-    # must divide by the axis size (pairs in a scoring folder share a
-    # shape, so callers control B).
+    # collectives). Same pattern as the teacher/student predictors;
+    # batches that don't divide the axis (incl. the reference protocol's
+    # batch-1 streaming) pad to an even split and slice back.
     mesh: Any = None
 
     def __post_init__(self):
         self._apply = jax.jit(self._forward)
         self._placed_vars = None
-        self._n_data = 1
-        if self.mesh is not None:
-            from ..parallel.mesh import DATA_AXIS, MODEL_AXIS, SPATIAL_AXIS
-
-            shape = dict(self.mesh.shape)
-            if (int(shape.get(SPATIAL_AXIS, 1)) > 1
-                    or int(shape.get(MODEL_AXIS, 1)) > 1):
-                raise ValueError(
-                    "ASDQEScorer serving shards the pair batch over the "
-                    "'data' mesh axis only")
-            self._n_data = int(shape[DATA_AXIS])
+        self._n_data = (1 if self.mesh is None
+                        else _data_axis_size(self.mesh, "ASDQEScorer"))
 
     def _forward(self, variables, lq, gt):
         if lq.dtype == jnp.uint8:  # uint8 boundary (see TeacherPredictor)
@@ -771,18 +761,16 @@ class ASDQEScorer:
         if lq.ndim == 3:
             lq, gt = lq[None], gt[None]
         if self._n_data > 1:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            from ..parallel.mesh import DATA_AXIS
-
+            # pad to an even split (repeat the last pair) so batch-1
+            # streaming — the reference's scoring protocol — works on a
+            # mesh; callers slice real scores back (`__call__` below;
+            # the eval pipeline reads element 0 of each batch-1 handle)
             if lq.shape[0] % self._n_data:
-                raise ValueError(
-                    f"pair batch ({lq.shape[0]}) must be divisible by "
-                    f"the mesh 'data' axis size ({self._n_data})")
-            spec = NamedSharding(self.mesh, P(DATA_AXIS, None, None, None))
-            ship = lambda x: jax.device_put(  # noqa: E731
-                x if x.dtype == np.uint8 else x.astype(self.dtype), spec)
-            return ship(lq), ship(gt)
+                reps = self._n_data - lq.shape[0] % self._n_data
+                lq = np.concatenate([lq, np.repeat(lq[-1:], reps, axis=0)])
+                gt = np.concatenate([gt, np.repeat(gt[-1:], reps, axis=0)])
+            return (_data_batch_put(self.mesh, lq, self.dtype),
+                    _data_batch_put(self.mesh, gt, self.dtype))
         ship = lambda x: (jnp.asarray(x) if x.dtype == np.uint8  # noqa: E731
                           else jnp.asarray(x, self.dtype))
         return ship(lq), ship(gt)
@@ -802,4 +790,6 @@ class ASDQEScorer:
     def __call__(self, lq: np.ndarray, gt: np.ndarray) -> np.ndarray:
         """lq/gt: (H, W, 3) or (B, H, W, 3), float32 [0,1] or uint8
         (1 byte/px H2D, in-jit /255 — exact in fp32); returns (B,)."""
-        return np.asarray(self.dispatch(self.upload(lq, gt))).reshape(-1)
+        b = 1 if lq.ndim == 3 else lq.shape[0]
+        scores = np.asarray(self.dispatch(self.upload(lq, gt))).reshape(-1)
+        return scores[:b]  # drop mesh even-split padding, if any

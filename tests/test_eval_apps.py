@@ -413,10 +413,16 @@ def test_asdqe_scorer_data_mesh_parity():
     meshed = ASDQEScorer(variables=variables, model=model,
                          mesh=make_mesh(n_data=4))(lq, gt)
     np.testing.assert_allclose(meshed, single, rtol=1e-5, atol=1e-6)
+    # indivisible batches (incl. the reference protocol's batch-1
+    # streaming) pad to an even split internally and slice back
     scorer = ASDQEScorer(variables=variables, model=model,
                          mesh=make_mesh(n_data=4))
-    with pytest.raises(ValueError, match="divisible"):
-        scorer(lq[:3], gt[:3])
+    odd = scorer(lq[:3], gt[:3])
+    assert odd.shape == (3,)
+    np.testing.assert_allclose(odd, single[:3], rtol=1e-5, atol=1e-6)
+    one = scorer(lq[0], gt[0])
+    assert one.shape == (1,)
+    np.testing.assert_allclose(one, single[:1], rtol=1e-5, atol=1e-6)
     with pytest.raises(ValueError, match="data"):
         ASDQEScorer(variables=variables, model=model,
                     mesh=make_mesh(n_data=2, n_spatial=2))

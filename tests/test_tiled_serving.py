@@ -135,8 +135,8 @@ def test_tiled_data_mesh_parity(predictor):
             (rng.uniform(0, 1, (40, 40, 3)) * 255).astype(np.uint8),
             (rng.uniform(0, 1, (16, 16, 3)) * 255).astype(np.uint8)]
     # imgs[2] is smaller than a tile -> whole-image fallback under mesh;
-    # the tile count (6+4) is not divisible by tile_batch=4 -> exercises
-    # the padded last chunk under sharding too
+    # the tile count (9+4=13) is not divisible by tile_batch=4 ->
+    # exercises the padded last chunk under sharding too
     single = predictor.denoise_tiled(imgs, tile=32, halo=0, tile_batch=4)
     meshed = TeacherPredictor(params=predictor.params,
                               model=predictor.model, dtype=jnp.float32,
