@@ -71,13 +71,28 @@ def build_everything(opt: dict, mesh=None):
     # CPU integration test; eager init would take tens of minutes)
     params = jax.jit(lambda r: model.init(r, example))(rng)["params"]
 
-    # pretrained load (strict or merge)
+    # pretrained load (strict or merge). Accepts either a reference .pth
+    # (converted via convert/) or one of our own orbax weight dirs
+    # (net_g_* from save_weights) — the latter is how variant fine-tunes
+    # (e.g. L2-Dice from the trained L1-Shadow teacher) chain runs, the
+    # reference's strict_load_g:false workflow (base_model.py:246-279).
     load_path = opt.get("path", {}).get("pretrain_network_g")
     if load_path:
-        params = load_reference_pth(
-            load_path, net_type, target_params=params,
-            param_key=opt["path"].get("param_key", "params"),
-            strict=opt["path"].get("strict_load_g", True))
+        param_key = opt["path"].get("param_key", "params")
+        strict = opt["path"].get("strict_load_g", True)
+        if os.path.isdir(load_path):
+            from .checkpoints import merge_params_nonstrict
+
+            source = load_weights(load_path, param_key)
+            if strict:
+                params = source
+            else:
+                params = merge_params_nonstrict(
+                    jax.device_get(params), jax.device_get(source))
+        else:
+            params = load_reference_pth(
+                load_path, net_type, target_params=params,
+                param_key=param_key, strict=strict)
         params = jax.tree.map(jnp.asarray, params)
 
     schedule = build_schedule(train_opt["optim_g"]["lr"],
