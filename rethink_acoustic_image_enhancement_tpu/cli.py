@@ -465,9 +465,10 @@ def _cmd_score(args) -> int:
 
         loaded = load_asdqe_weights(args.weights or None)
         if loaded is None:
-            print(f"error: checkpoint not found: "
-                  f"{args.weights or 'no --weights given and the in-repo '
-                     'trained scorer is absent'}", file=sys.stderr)
+            missing = (args.weights or "no --weights given and the "
+                       "in-repo trained scorer is absent")
+            print(f"error: checkpoint not found: {missing}",
+                  file=sys.stderr)
             return 2
         params, batch_stats = loaded
     scorer = ASDQEScorer(variables={

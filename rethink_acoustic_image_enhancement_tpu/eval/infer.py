@@ -63,6 +63,11 @@ def _data_axis_size(mesh, who: str) -> int:
         raise ValueError(
             f"{who} shards its batch over the 'data' mesh axis only; "
             "spatial/model axes are not supported on this path")
+    if DATA_AXIS not in shape:
+        raise ValueError(
+            f"{who} needs a '{DATA_AXIS}' axis in the serving mesh "
+            f"(got axes {sorted(shape)}); build it with "
+            "parallel.mesh.make_mesh or name your batch axis 'data'")
     return int(shape[DATA_AXIS])
 
 

@@ -204,16 +204,28 @@ def main():
 
     results = {k: round(v, 3) for k, v in results.items()}
     # best-session merge (CLAUDE.md): tunnel transfer throughput drifts
-    # 1.2-2.8x between sessions, so the e2e entries keep their best
-    # measurement; every key is a throughput (higher = better). Pass
-    # --fresh to overwrite instead.
+    # 1.2-2.8x between sessions, so ONLY the transfer-bound e2e entries
+    # keep their best measurement; device-side entries reproduce across
+    # sessions and always take the fresh number so a real regression can
+    # surface. Keys deleted from the suite are dropped. Pass --fresh to
+    # overwrite everything.
     import sys
 
     if "--fresh" not in sys.argv and os.path.exists("BENCH_SUITE.json"):
         with open("BENCH_SUITE.json") as f:
             old = json.load(f)
-        results = {k: max(v, old.get(k, 0.0)) for k, v in results.items()}
-        results.update({k: v for k, v in old.items() if k not in results})
+        stale = []
+        for k, v in results.items():
+            if "_e2e_" in k and old.get(k, 0.0) > v:
+                results[k] = old[k]
+                stale.append(k)
+        dropped = sorted(set(old) - set(results))
+        if stale:
+            print(f"# kept best-session e2e entries: {', '.join(stale)}",
+                  file=sys.stderr)
+        if dropped:
+            print(f"# dropped keys no longer produced: "
+                  f"{', '.join(dropped)}", file=sys.stderr)
     with open("BENCH_SUITE.json", "w") as f:
         json.dump(results, f, indent=2)
     print(json.dumps(results, indent=2))
