@@ -184,10 +184,14 @@ def prune_checkpoints(states_dir: str | None, models_dir: str | None,
     return removed
 
 
-def merge_params_nonstrict(target, source, verbose: bool = True):
+def merge_params_nonstrict(target, source, verbose: bool = True,
+                           min_matched: int = 0):
     """Non-strict merge: copy leaves that exist in both trees with matching
     shapes; skip (and report) the rest — the reference's strict_load_g:
-    false semantics (base_model.py:246-279)."""
+    false semantics (base_model.py:246-279). ``min_matched`` guards
+    against a wrong param_key/checkpoint layout silently merging nothing
+    and "fine-tuning" from random init: fewer than that many matched
+    leaves raises ValueError."""
     skipped: list[str] = []
 
     def walk(dst: dict, src: Any, prefix: str):
@@ -206,6 +210,14 @@ def merge_params_nonstrict(target, source, verbose: bool = True):
         return out
 
     merged = walk(target, source, "")
+    n_target = len(jax.tree.leaves(target))
+    n_matched = n_target - len(skipped)
+    if n_matched < min_matched:
+        raise ValueError(
+            f"pretrain merge matched only {n_matched} of {n_target} "
+            f"leaves (need >= {min_matched}) — wrong param_key or "
+            "checkpoint layout (strict_load_g: false skips mismatches, "
+            "not everything)")
     if verbose and skipped:
         print(f"[load] kept {len(skipped)} target entries not found/matched "
               f"in source (first few: {skipped[:5]})")

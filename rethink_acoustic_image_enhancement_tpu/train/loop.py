@@ -84,11 +84,27 @@ def build_everything(opt: dict, mesh=None):
             from .checkpoints import merge_params_nonstrict
 
             source = load_weights(load_path, param_key)
+            # load_weights falls back to the whole payload when param_key
+            # is absent; a payload that still wraps a single weights key
+            # (e.g. a bf16 export saved as {'params': tree}) must be
+            # unwrapped or the merge below silently matches NOTHING and
+            # the "fine-tune" trains from random init.
+            if (isinstance(source, dict) and len(source) == 1
+                    and next(iter(source)) in ("params", "params_ema")):
+                only = next(iter(source))
+                if only != param_key:
+                    print(f"[load] pretrain payload has only {only!r} "
+                          f"(asked for {param_key!r}) — using it")
+                source = source[only]
             if strict:
                 params = source
             else:
+                # a fine-tune that matches <10% of leaves is a wrong
+                # param_key / layout, not a variant init — fail loudly
+                n_target = len(jax.tree.leaves(params))
                 params = merge_params_nonstrict(
-                    jax.device_get(params), jax.device_get(source))
+                    jax.device_get(params), jax.device_get(source),
+                    min_matched=max(1, n_target // 10))
         else:
             params = load_reference_pth(
                 load_path, net_type, target_params=params,

@@ -135,6 +135,56 @@ def test_train_loop_and_auto_resume(tmp_path):
     assert find_latest_checkpoint(states_dir) == 12
 
 
+def test_pretrain_from_own_orbax_dir(tmp_path):
+    """Variant fine-tunes chain from our own saved weights dirs: the
+    orbax branch of the pretrain loader must unwrap single-key payloads
+    (a dir saved as {'params': tree} requested with param_key
+    'params_ema' burned a full L2-Dice training segment by silently
+    merging nothing) and must hard-fail when the merge matches zero
+    leaves instead of 'fine-tuning' from random init."""
+    from rethink_acoustic_image_enhancement_tpu.train.loop import (
+        build_everything,
+    )
+
+    _write_frames(tmp_path / "data")
+    cfg = _student_config(tmp_path)
+    path = tmp_path / "opt.yml"
+    path.write_text(yaml.safe_dump(cfg))
+    opt = parse(str(path), is_train=True, root_path=str(tmp_path))
+    make_exp_dirs(opt)
+    train_from_config(opt, max_iters=2, log_fn=lambda m: None)
+    weights_dir = os.path.join(opt["path"]["models"], "net_g_2")
+    source = load_weights(weights_dir)
+
+    cfg2 = _student_config(tmp_path)
+    cfg2["name"] = "smoke_student_ft"
+    # the trap: dir payload only has 'params'; ask for 'params_ema'
+    cfg2["path"] = {"pretrain_network_g": weights_dir,
+                    "param_key": "params_ema", "strict_load_g": False,
+                    "resume_state": None}
+    p2 = tmp_path / "opt2.yml"
+    p2.write_text(yaml.safe_dump(cfg2))
+    opt2 = parse(str(p2), is_train=True, root_path=str(tmp_path))
+    make_exp_dirs(opt2)
+    _, ft_params, _, _ = build_everything(opt2)
+    got = jax.device_get(ft_params)
+    want = jax.device_get(source)
+    flat_got = dict(jax.tree_util.tree_flatten_with_path(got)[0])
+    for k, v in jax.tree_util.tree_flatten_with_path(want)[0]:
+        np.testing.assert_array_equal(np.asarray(flat_got[k]),
+                                      np.asarray(v), err_msg=str(k))
+
+    # a merge that matches (almost) nothing must raise, not proceed
+    from rethink_acoustic_image_enhancement_tpu.train.checkpoints import (
+        merge_params_nonstrict,
+    )
+
+    tgt = {"a": {"kernel": np.zeros((3, 3))}, "b": {"bias": np.zeros(4)}}
+    src = {"params": tgt}  # wrapper mistaken for the tree itself
+    with pytest.raises(ValueError, match="matched only 0 of 2"):
+        merge_params_nonstrict(tgt, src, min_matched=1)
+
+
 def test_profile_steps_capture(tmp_path):
     """profile_steps captures a device trace into <log>/profile and logs
     an hlo_category summary (§5.1 observability)."""
