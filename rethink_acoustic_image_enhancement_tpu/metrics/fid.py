@@ -113,13 +113,21 @@ def make_asdqe_feature_fn(params=None, batch_stats=None, seed: int = 0):
     return feature_fn
 
 
-def fid_between_folders(dir1: str, dir2: str, feature_fn=None) -> float:
+def fid_between_folders(dir1: str, dir2: str, feature_fn=None,
+                        inception_weights: str | None = None) -> float:
     """End-to-end FID between two image folders — usable without any
     external weights (default ASDQE feature space, see
-    ``make_asdqe_feature_fn``). Images are scored one by one (global
-    average pooling makes the embedding size-independent)."""
+    ``make_asdqe_feature_fn``). Pass ``inception_weights`` (a
+    user-supplied torchvision/pytorch-fid InceptionV3 ``.pth``) for
+    literature-comparable pool3-space FID (``metrics/inception.py``).
+    Images are scored one by one (global average pooling makes the
+    embedding size-independent)."""
     from ..utils.image_io import imread_rgb, list_images
 
+    if feature_fn is None and inception_weights:
+        from .inception import make_inception_feature_fn
+
+        feature_fn = make_inception_feature_fn(inception_weights)
     feature_fn = feature_fn or make_asdqe_feature_fn()
 
     def feats(folder):

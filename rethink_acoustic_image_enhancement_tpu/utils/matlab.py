@@ -98,6 +98,12 @@ def ycbcr2rgb(img: np.ndarray) -> np.ndarray:
     return (img - _OFFSET / 255.0) @ inv
 
 
+def ycbcr2bgr(img: np.ndarray) -> np.ndarray:
+    """YCbCr [0,1] -> BGR [0,1] (matlab_functions.py:273 ycbcr2bgr —
+    the BT.601 inverse with the channel order reversed)."""
+    return ycbcr2rgb(img)[..., ::-1]
+
+
 def to_y_channel(img: np.ndarray, channel_order: str = "rgb") -> np.ndarray:
     """[0,255] color image -> [0,255] Y channel (metric_util.to_y_channel)."""
     img = img.astype(np.float64) / 255.0

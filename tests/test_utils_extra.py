@@ -64,10 +64,17 @@ def test_matlab_imresize_matches_reference_implementation():
 
 
 def test_ycbcr_roundtrip():
+    from rethink_acoustic_image_enhancement_tpu.utils.matlab import (
+        bgr2ycbcr,
+        ycbcr2bgr,
+    )
+
     img = np.random.default_rng(1).random((5, 7, 3))
     ycc = rgb2ycbcr(img)
     back = ycbcr2rgb(ycc)
     np.testing.assert_allclose(back, img, atol=1e-10)
+    # matlab_functions.py:273 ycbcr2bgr = inverse of bgr2ycbcr
+    np.testing.assert_allclose(ycbcr2bgr(bgr2ycbcr(img)), img, atol=1e-10)
     y = to_y_channel((img * 255).astype(np.float32))
     assert y.shape == (5, 7, 1)
     assert 16 <= y.mean() <= 235
