@@ -131,6 +131,15 @@ def _cmd_test(args) -> int:
     return 0
 
 
+def _tile_spec(s: str):
+    """--tile / --tile-halo value: '256' (square) or '256x512'
+    (rows x cols — strip modes; see denoise_tiled)."""
+    if "x" in s:
+        r, c = s.split("x", 1)
+        return (int(r), int(c))
+    return int(s)
+
+
 def _load_params_any(path: str, arch: str, param_key: str):
     """Accept either a reference .pth or an orbax checkpoint dir."""
     from .train.checkpoints import load_reference_pth, load_weights
@@ -620,16 +629,17 @@ def main(argv=None) -> int:
                    help="round padded sizes up to this grid so mixed-size "
                         "folders share compiled programs (approximate; "
                         "see docs)")
-    p.add_argument("--tile", type=int, default=None,
+    p.add_argument("--tile", type=_tile_spec, default=None,
                    help="tiled batched serving: split frames into TILE-px "
                         "interiors batched 8/dispatch (measured 1.36x "
                         "device throughput at 512px; approximate — "
                         "per-tile attention stats, see docs/perf_plan.md)")
-    p.add_argument("--tile-halo", type=int, default=0,
-                   help="context ring around each tile interior (px); 0 "
+    p.add_argument("--tile-halo", type=_tile_spec, default=0,
+                   help="context ring around each tile interior (px, or "
+                        "ROWSxCOLS per-axis, e.g. 8x0 for strip modes); 0 "
                         "(default) = full measured speed, golden-"
                         "equivalent quality; >0 trades throughput for "
-                        "whole-image fidelity (+24% time at 8)")
+                        "whole-image fidelity (+24%% time at 8)")
     p.set_defaults(fn=_cmd_infer_teacher)
 
     p = sub.add_parser("serve", help="watch-folder serving daemon")
@@ -650,9 +660,9 @@ def main(argv=None) -> int:
                    help="bounded backend probe before starting (a wedged "
                         "accelerator claim would hang the first jit "
                         "forever); 0 disables")
-    p.add_argument("--tile", type=int, default=None,
+    p.add_argument("--tile", type=_tile_spec, default=None,
                    help="tiled batched serving (see infer-teacher --tile)")
-    p.add_argument("--tile-halo", type=int, default=0)
+    p.add_argument("--tile-halo", type=_tile_spec, default=0)
     p.set_defaults(fn=_cmd_serve)
 
     p = sub.add_parser("infer-student", help="KDLAE-S multi-frame denoise")

@@ -337,7 +337,8 @@ class TeacherPredictor:
     # ------------------------------------------------------------ tiled --
     def denoise_tiled(self, imgs_rgb: list[np.ndarray],
                       denoise_rate: float = 1.0, zero_mask: bool = True,
-                      tile: int = 256, halo: int = 0,
+                      tile: int | tuple[int, int] = 256,
+                      halo: int | tuple[int, int] = 0,
                       tile_batch: int = 8) -> list[dict]:
         """Tiled batched serving — the measured fast path for large frames.
 
@@ -367,6 +368,14 @@ class TeacherPredictor:
         single-device (tests/test_tiled_serving.py) and needs no
         collectives; throughput scales with the axis up to the
         host-boundary limit.
+
+        ``tile`` and ``halo`` accept (rows, cols) tuples for rectangular
+        modes — notably STRIPS (e.g. ``tile=(256, 512)``, full-width
+        rows): one seam direction instead of two (half the seam surface
+        of the square grid) at a measured 1.29x on 512px frames
+        (docs/perf_plan.md round-4 table, 256x512 row), and a per-axis
+        halo like ``halo=(8, 0)`` buys context across the single seam
+        without paying it on the full-width axis.
         """
         if not imgs_rgb:
             return []
@@ -381,13 +390,16 @@ class TeacherPredictor:
                 raise ValueError(
                     f"tile_batch ({tile_batch}) must be divisible by the "
                     f"mesh 'data' axis size ({n_data})")
-        T = tile + 2 * halo
-        if tile % self.multiple_of or T % self.multiple_of:
+        t_h, t_w = (tile, tile) if isinstance(tile, int) else tile
+        h_h, h_w = (halo, halo) if isinstance(halo, int) else halo
+        T_h, T_w = t_h + 2 * h_h, t_w + 2 * h_w
+        if any(v % self.multiple_of
+               for v in (t_h, t_w, T_h, T_w)):
             # the model's pixel-unshuffle stages need /8-divisible inputs
             # (notebook pad contract); a bad halo would die deep in jit
             raise ValueError(
-                f"tile ({tile}) and tile+2*halo ({T}) must be multiples "
-                f"of {self.multiple_of}")
+                f"tile ({t_h}x{t_w}) and tile+2*halo ({T_h}x{T_w}) must "
+                f"be multiples of {self.multiple_of}")
         # ---- host prep: grid-pad + halo-pad each image, slice tiles ----
         metas = []   # (h, w, gh, gw) per image
         tiles = []   # uint8/float tiles in image-major, row-major order
@@ -395,21 +407,21 @@ class TeacherPredictor:
         small = {}   # index -> whole-image result (reflect needs pad < dim)
         for idx, im in enumerate(imgs_rgb):
             h, w = im.shape[:2]
-            gh, gw = -(-h // tile), -(-w // tile)
-            ph, pw = gh * tile - h, gw * tile - w
-            if ph + halo >= h or pw + halo >= w:
+            gh, gw = -(-h // t_h), -(-w // t_w)
+            ph, pw = gh * t_h - h, gw * t_w - w
+            if ph + h_h >= h or pw + h_w >= w:
                 # image (axis) smaller than a tile: tiling buys nothing
                 # and reflect padding is ill-defined — whole-image path
                 small[idx] = self(im, denoise_rate, zero_mask=zero_mask)
                 continue
-            canvas = np.pad(im, ((halo, ph + halo), (halo, pw + halo),
+            canvas = np.pad(im, ((h_h, ph + h_h), (h_w, pw + h_w),
                                  (0, 0)), mode="reflect")
             metas.append((idx, h, w, gh, gw))
             norm.append(im)
             for i in range(gh):
                 for j in range(gw):
-                    tiles.append(canvas[i * tile:i * tile + T,
-                                        j * tile:j * tile + T])
+                    tiles.append(canvas[i * t_h:i * t_h + T_h,
+                                        j * t_w:j * t_w + T_w])
         if not tiles:
             return [small[i] for i in range(len(imgs_rgb))]
         if any(t.dtype != np.uint8 for t in tiles):
@@ -472,19 +484,19 @@ class TeacherPredictor:
         # ---- reassemble interiors ----
         tiled_results, k = {}, 0
         for (idx, h, w, gh, gw), im in zip(metas, norm):
-            out_hq = np.empty((gh * tile, gw * tile, 3), np.uint8)
-            out_sr = (np.empty((2 * gh * tile, 2 * gw * tile, 3), np.uint8)
+            out_hq = np.empty((gh * t_h, gw * t_w, 3), np.uint8)
+            out_sr = (np.empty((2 * gh * t_h, 2 * gw * t_w, 3), np.uint8)
                       if sr_tiles else None)
             for i in range(gh):
                 for j in range(gw):
-                    out_hq[i * tile:(i + 1) * tile,
-                           j * tile:(j + 1) * tile] = \
-                        hq_tiles[k][halo:halo + tile, halo:halo + tile]
+                    out_hq[i * t_h:(i + 1) * t_h,
+                           j * t_w:(j + 1) * t_w] = \
+                        hq_tiles[k][h_h:h_h + t_h, h_w:h_w + t_w]
                     if out_sr is not None:
-                        out_sr[2 * i * tile:2 * (i + 1) * tile,
-                               2 * j * tile:2 * (j + 1) * tile] = \
-                            sr_tiles[k][2 * halo:2 * (halo + tile),
-                                        2 * halo:2 * (halo + tile)]
+                        out_sr[2 * i * t_h:2 * (i + 1) * t_h,
+                               2 * j * t_w:2 * (j + 1) * t_w] = \
+                            sr_tiles[k][2 * h_h:2 * (h_h + t_h),
+                                        2 * h_w:2 * (h_w + t_w)]
                     k += 1
             hq = out_hq[:h, :w]
             out = {}
