@@ -117,10 +117,17 @@ class TeacherPredictor:
     # Upsample fused=True): same params, same math, one strided/dilated
     # conv per resampler instead of conv + pixel-(un)shuffle formatting.
     fused_resample: bool = False
+    # Route eligible TransformerStages through the batched Pallas stage
+    # megakernel (ops/pallas/stage.py — per-block weights VMEM-resident
+    # across the tile batch). Opt-in: ties XLA at the b8x256 tile shape,
+    # loses at whole-image shapes (docs/perf_plan.md).
+    fused: bool = False
 
     def __post_init__(self):
         if self.fused_resample:
             self.model = self.model.clone(fused_resample=True)
+        if self.fused:
+            self.model = self.model.clone(fused=True)
         if self.shape_bucket and self.shape_bucket % self.multiple_of:
             # a bucket that isn't a multiple of the model's pad unit would
             # replace it in padding and feed the pixel-unshuffle stages a

@@ -50,16 +50,23 @@ def _kernel(x_hbm, ln1_w, w_qkv, dw_qkv, temp, w_proj,
             *, th, tw, c, c_pad, f_pad, ln_eps, n_blocks, n_tiles, n_j,
             n_heads=1):
     del zeros_a, zeros_b  # aliased to buf_a/buf_b (same storage)
+    # grid (block, sample, phase, tile): block OUTERMOST keeps each
+    # block's weights VMEM-resident across the whole sample batch (the
+    # BlockSpec index maps depend only on the block id, so Mosaic skips
+    # the weight re-copy for every inner step) — with batch 8 tiles per
+    # dispatch that is 8x less weight streaming AND one kernel-boundary
+    # layout transition per dispatch instead of per sample.
     blk = pl.program_id(0)
-    phase = pl.program_id(1)
-    tile = pl.program_id(2)
+    smp = pl.program_id(1)
+    phase = pl.program_id(2)
+    tile = pl.program_id(3)
     ti = tile // n_j
     tj = jax.lax.rem(tile, n_j)
 
     # ---- fetch the aligned (th+16, tw+16) window from this block's source
     def fetch(src):
         return pltpu.make_async_copy(
-            src.at[0, pl.ds(ti * th, th + 16), pl.ds(tj * tw, tw + 16), :],
+            src.at[smp, pl.ds(ti * th, th + 16), pl.ds(tj * tw, tw + 16), :],
             win, sem_in)
 
     @pl.when(blk == 0)
@@ -190,7 +197,8 @@ def _kernel(x_hbm, ln1_w, w_qkv, dw_qkv, temp, w_proj,
         def put(dst):
             return pltpu.make_async_copy(
                 tile_out,
-                dst.at[0, pl.ds(8 + ti * th, th), pl.ds(8 + tj * tw, tw), :],
+                dst.at[smp, pl.ds(8 + ti * th, th),
+                       pl.ds(8 + tj * tw, tw), :],
                 sem_out)
 
         @pl.when(jax.lax.rem(blk, 2) == 0)
@@ -211,13 +219,15 @@ def stage_worthwhile(batch: int, h: int, w: int, c: int, num_heads: int,
                      expansion: float = 2.66) -> bool:
     """Stage-kernel gate: heads dividing C (block-masked softmax, same as
     block.py) but still BiasFree LN only (no LN-bias plumbing here), on
-    top of the shared tiling/size policy."""
+    top of the shared tiling/size policy. Unlike the per-block kernel,
+    ANY batch size is in scope (the batched grid keeps per-block weights
+    VMEM-resident across samples — the round-5 tile-serving form)."""
     from .block import mega_worthwhile
 
     if not bias_free:
         return False
-    return mega_worthwhile(batch, h, w, c, num_heads, bias_free, use_bias,
-                           expansion)
+    return mega_worthwhile(1, h, w, c, num_heads, bias_free, use_bias,
+                           expansion) and batch >= 1
 
 
 @functools.partial(jax.jit, static_argnames=("ln_eps", "interpret"))
@@ -227,10 +237,13 @@ def fused_transformer_stage(
     ln_eps: float = 1e-5,
     interpret: bool | None = None,
 ):
-    """Run n_blocks TransformerBlocks (batch 1, any head count dividing C,
-    BiasFree) in one pallas call; the head count is read off the
-    temperature's second dim. Every weight arg is STACKED with a leading
-    n_blocks dim, in the flax kernel layouts:
+    """Run n_blocks TransformerBlocks (any batch, any head count dividing
+    C, BiasFree) in one pallas call; the head count is read off the
+    temperature's second dim. Samples are independent (per-sample MDTA
+    statistics, exactly like the sequential blocks); the grid iterates
+    block-major so each block's weights load into VMEM ONCE per call and
+    serve every sample/tile (see _kernel). Every weight arg is STACKED
+    with a leading n_blocks dim, in the flax kernel layouts:
       ln1_w/ln2_w (N, C); w_qkv (N, 1, 1, C, 3C); dw_qkv (N, 3, 3, 1, 3C);
       temperature (N, heads, 1, 1) or (N, 1); w_proj (N, 1, 1, C, C);
       w_in (N, 1, 1, C, 2F); w_dw (N, 3, 3, 1, 2F); w_out (N, 1, 1, F, C).
@@ -238,7 +251,6 @@ def fused_transformer_stage(
     if interpret is None:
         interpret = jax.default_backend() not in ("tpu", "axon")
     bsz, h, w, c = x.shape
-    assert bsz == 1, "stage kernel scope: batch 1"
     n_blocks = ln1_w.shape[0]
     w_qkv = w_qkv.reshape(n_blocks, c, 3 * c)
     dw_qkv = dw_qkv.reshape(n_blocks, 3, 3, 3 * c)
@@ -263,8 +275,8 @@ def fused_transformer_stage(
 
     # interior at offset 8; borders zero (halo reads outside the image)
     x_padded = jnp.pad(x, ((0, 0), (8, 8), (8, 8), (0, c_pad - c)))
-    zeros_a = jnp.zeros((1, h + 16, w + 16, c_pad), x.dtype)
-    zeros_b = jnp.zeros((1, h + 16, w + 16, c_pad), x.dtype)
+    zeros_a = jnp.zeros((bsz, h + 16, w + 16, c_pad), x.dtype)
+    zeros_b = jnp.zeros((bsz, h + 16, w + 16, c_pad), x.dtype)
 
     def pad_lane2(v, n):
         return jnp.pad(v, ((0, 0), (0, n - v.shape[1])))
@@ -298,8 +310,11 @@ def fused_transformer_stage(
         tvec[:, lane_heads])
 
     def wspec(*shape):
+        # index depends ONLY on the block id: inner (sample, phase, tile)
+        # steps revisit the same weight block -> VMEM-resident
         return pl.BlockSpec((1, *shape),
-                            lambda b, p, t: (b,) + tuple(0 for _ in shape),
+                            lambda blk, s, p, t: (blk,)
+                            + tuple(0 for _ in shape),
                             memory_space=pltpu.VMEM)
 
     kern = functools.partial(
@@ -308,9 +323,11 @@ def fused_transformer_stage(
         n_heads=n_heads)
     buf_a, buf_b = pl.pallas_call(
         kern,
-        out_shape=(jax.ShapeDtypeStruct((1, h + 16, w + 16, c_pad), x.dtype),
-                   jax.ShapeDtypeStruct((1, h + 16, w + 16, c_pad), x.dtype)),
-        grid=(n_blocks, 2, n_tiles),
+        out_shape=(jax.ShapeDtypeStruct((bsz, h + 16, w + 16, c_pad),
+                                        x.dtype),
+                   jax.ShapeDtypeStruct((bsz, h + 16, w + 16, c_pad),
+                                        x.dtype)),
+        grid=(n_blocks, bsz, 2, n_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # x
             wspec(1, c_pad),                     # ln1_w

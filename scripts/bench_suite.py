@@ -105,6 +105,11 @@ def main():
         "test", jnp.bfloat16, batch=8, size=256) / 4.0
     results["kdlae_t_512_denoise_bf16_scan8_fused_resample"] = teacher(
         "test", jnp.bfloat16, scan=8, fused_resample=True)
+    # second static-shape bucket: whole-image 1024px (arbitrary sonar
+    # frame sizes are a tested claim — VERDICT r4 item 10); tiled-1024
+    # predictor-level numbers live in artifacts/tiled_strips
+    results["kdlae_t_1024_denoise_bf16_scan2"] = teacher(
+        "test", jnp.bfloat16, scan=2, size=1024)
     results["kdlae_t_512_denoise_fp32"] = teacher("test", jnp.float32)
     results["kdlae_t_512_denoise_sr_bf16"] = teacher("train", jnp.bfloat16)
     results["kdlae_t_512_denoise_sr_bf16_scan8"] = teacher(

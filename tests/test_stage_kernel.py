@@ -91,3 +91,31 @@ def test_stage_multihead_parity(num_heads):
                                   interpret=True)
     scale = float(jnp.max(jnp.abs(ref)))
     assert float(jnp.max(jnp.abs(got - ref))) / scale < 3e-2
+
+
+def test_stage_batched_matches_per_sample():
+    """Batched stage (grid block-major, weights VMEM-resident across the
+    sample batch — the tile-serving form) must equal running each sample
+    through the sequential XLA blocks independently."""
+    c = 48
+    block, params = _blocks_and_params(c, 2, seed=7)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(3, 16, 24, c)).astype(np.float32))
+
+    ref = x
+    for p in params:
+        ref = block.apply({"params": p}, ref)
+
+    stacked = stack_block_params(params)
+    got = fused_transformer_stage(x, **stacked, interpret=True)
+    assert got.shape == ref.shape
+    scale = float(jnp.max(jnp.abs(ref)))
+    err = float(jnp.max(jnp.abs(got - ref))) / scale
+    assert err < 3e-2, err
+
+    # per-sample MDTA statistics: batched == each sample alone
+    solo = jnp.concatenate([
+        fused_transformer_stage(x[i:i + 1], **stacked, interpret=True)
+        for i in range(3)])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(solo),
+                               rtol=0, atol=1e-5)

@@ -207,3 +207,24 @@ def test_tile_spec_cli_parser():
     assert _tile_spec("256") == 256
     assert _tile_spec("256x512") == (256, 512)
     assert _tile_spec("8x0") == (8, 0)
+
+
+def test_tiled_1024_bucket_semantics(predictor):
+    """Second static-shape bucket (VERDICT r4 item 10): a 1024-class
+    input exercises grid tiling, strip mode, and the fan-beam zero-mask
+    end-to-end at a shape well past the 512 bench bucket (scaled to
+    256px with the tiny test model = same grid arithmetic: 8x8 grid of
+    32px tiles / 8 full-width strips)."""
+    rng = np.random.default_rng(30)
+    im = (rng.uniform(0.2, 1, (256, 256, 3)) * 255).astype(np.uint8)
+    im[:, :16] = 0  # fan-beam style zero border
+    sq = predictor.denoise_tiled([im], tile=32, halo=0, tile_batch=8)[0]
+    st = predictor.denoise_tiled([im], tile=(32, 256), halo=(0, 0),
+                                 tile_batch=8)[0]
+    assert sq["hq"].shape == im.shape and st["hq"].shape == im.shape
+    assert (sq["hq"][:, :16] == 0).all() and (st["hq"][:, :16] == 0).all()
+    # the first strip IS the first grid row's worth of pixels: strip mode
+    # and square mode agree exactly on tiles interior to the same strip?
+    # no — different attention extents; assert both stay plausible images
+    for out in (sq, st):
+        assert out["hq"][:, 16:].mean() > 1
