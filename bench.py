@@ -127,15 +127,21 @@ def main() -> None:
     dt = time.perf_counter() - t0
     whole_img_per_s = SCAN_IMAGES * ITERS / dt
 
-    # Tiled serving headline (round 4): the same 512px images served as
-    # 2x2 grids of 256px tiles, 8 tiles (= 2 images) per dispatch —
-    # measured 1.36x the whole-image program (docs/perf_plan.md round 4).
-    # Quality with the TRAINED teacher on real sonar frames: 41.8 dB vs
-    # the whole-image outputs, -0.5 dB vs the reference goldens, trained-
-    # ASDQE score identical at 1.0 (artifacts/tiled_ab/ab.json). The
-    # whole-image number stays in `whole_image_img_per_s` for cross-round
-    # comparability; whole-image remains the reference-exact default in
-    # the predictors.
+    # Tiled serving headline (rounds 4-5): the same 512px images served
+    # as 2x2 grids of 256px tiles, 8 tiles (= 2 images) per dispatch —
+    # measured 1.34x the whole-image program (artifacts/tiled_strips/
+    # bench_protocol.json). QUALITY OF THIS EXACT MODE with the TRAINED
+    # teacher on real sonar frames: 31.65 dB vs the reference goldens
+    # where whole-image scores 32.20 (-0.55 dB); trained-ASDQE score
+    # identical at 1.0 (artifacts/tiled_strips/study.json). The round-5
+    # halo/strip sweep proved no tiled mode can be quality-neutral:
+    # MDTA's channel Gram and q/k norms are global pixel sums, so tiles
+    # see different statistics than the whole image and the halo sweep
+    # flattens at about -0.43 dB (study.json). The whole-image number
+    # stays in `whole_image_img_per_s` for cross-round comparability;
+    # whole-image remains the reference-exact default in the predictors.
+    # Strip mode (256x512, halo 0): 1.28x at -0.47 dB with half the seam
+    # surface; at the 1024px bucket strips reach 1.65x vs whole-image.
     tiles = imgs.reshape(SCAN_IMAGES, 2, 256, 2, 256, 3) \
                 .transpose(0, 1, 3, 2, 4, 5).reshape(-1, 256, 256, 3)
     tile_rates = jnp.full((8, 256, 256, 1), 1.0, DTYPE)
@@ -159,8 +165,9 @@ def main() -> None:
 
     print(json.dumps({
         "metric": f"KDLAE-T {SIZE}px denoise throughput (bf16, 2x2x256px "
-                  f"tiled batch-8 serving; quality study "
-                  f"artifacts/tiled_ab)",
+                  f"tiled batch-8 serving; -0.55 dB vs reference goldens, "
+                  f"trained-ASDQE identical — artifacts/tiled_strips; "
+                  f"exact whole-image mode in whole_image_img_per_s)",
         "value": round(tiled_img_per_s, 3),
         "unit": "img/s/chip",
         "vs_baseline": round(tiled_img_per_s / CPU_BASELINE_IMG_PER_S, 1),

@@ -714,25 +714,55 @@ class StudentPredictor:
     def denoise_folder(self, folder: str, start: int = 0) -> np.ndarray:
         return self(self.load_stack(folder, start))
 
-    def denoise_all_frames(self, folder: str) -> np.ndarray:
+    def denoise_all_frames(self, folder: str,
+                           stack_batch: int = 18) -> np.ndarray:
         """Denoise EVERY frame in a folder: consecutive ``num_frames``
         stacks, with the tail stack overlapping backwards so the last
         ``len % num_frames`` frames are still covered (each frame's
         output comes from the FIRST stack containing it — deterministic,
         unlike the notebook's random single stack). Returns (N, H, W)
-        uint8 in ``list_images`` order."""
-        n = len(list_images(folder))
+        uint8 in ``list_images`` order.
+
+        Uniform-size folders decode once and run ``stack_batch`` stacks
+        per dispatch through denoise_batch: the conv3d program carries a
+        large batch-independent cost, so per-frame time falls ~4.6x from
+        b32 to b128 frames/dispatch (artifacts/roofline_r5/roofline.json
+        student sweep — 555 -> 119 us/frame at 7x256px; 18 stacks = 126
+        frames rides that sweet spot). Mixed-size folders keep the
+        per-stack path (load_stack resizes each stack to ITS first
+        frame; batching would change those semantics)."""
+        files = list_images(folder)
+        n = len(files)
         if n < self.num_frames:
             raise ValueError(
                 f"need {self.num_frames} frames, found {n} in {folder}")
-        frames: dict[int, np.ndarray] = {}
+        starts = []
         start = 0
         while start < n:
             s = min(start, n - self.num_frames)
+            starts.append(s)
+            start = s + self.num_frames
+        imgs = [imread_gray(p) for p in files]
+        if len({im.shape for im in imgs}) == 1 and stack_batch > 1:
+            # uniform sizes: decoded floats are exact uint8/255, so the
+            # re-quantization is lossless (same rule as load_stack) and
+            # stacks ship 1 byte/px
+            u8 = np.stack([np.rint(im * 255.0).astype(np.uint8)
+                           for im in imgs])
+            stacks = np.stack([u8[s:s + self.num_frames] for s in starts])
+            outs = np.concatenate(
+                [self.denoise_batch(stacks[b:b + stack_batch])
+                 for b in range(0, len(stacks), stack_batch)])
+            frames: dict[int, np.ndarray] = {}
+            for k, s in enumerate(starts):
+                for j in range(self.num_frames):
+                    frames.setdefault(s + j, outs[k, j])
+            return np.stack([frames[i] for i in range(n)])
+        frames = {}
+        for s in starts:
             out = self.denoise_folder(folder, start=s)
             for j in range(out.shape[0]):
                 frames.setdefault(s + j, out[j])
-            start = s + self.num_frames
         shape0 = frames[0].shape
         if any(f.shape != shape0 for f in frames.values()):
             # mixed-size folders: each stack resized to ITS first frame

@@ -89,8 +89,9 @@ def main():
             dt = timed(fn, (params, imgs, rates))
             return scan * batch / dt
 
-        img = jnp.asarray(rng.random((batch, size, size, 3)), dtype)
-        rate = jnp.full((batch, size, size, 1), 1.0, dtype)
+        h, w = (size, size) if isinstance(size, int) else size
+        img = jnp.asarray(rng.random((batch, h, w, 3)), dtype)
+        rate = jnp.full((batch, h, w, 1), 1.0, dtype)
         fn = jax.jit(fwd)
         dt = timed(fn, (params, img, rate))
         return batch / dt
@@ -103,6 +104,11 @@ def main():
     # quality study in artifacts/tiled_ab; whole-image stays exact)
     results["kdlae_t_512_denoise_bf16_tiled256_b8"] = teacher(
         "test", jnp.bfloat16, batch=8, size=256) / 4.0
+    # strip variant (round 5): full-width 256x512 strips, half the seam
+    # surface of the 2x2 grid at ~96% of its throughput and +0.08 dB
+    # (artifacts/tiled_strips/{bench_protocol,study}.json)
+    results["kdlae_t_512_denoise_bf16_strip256x512_b8"] = teacher(
+        "test", jnp.bfloat16, batch=8, size=(256, 512)) / 2.0
     results["kdlae_t_512_denoise_bf16_scan8_fused_resample"] = teacher(
         "test", jnp.bfloat16, scan=8, fused_resample=True)
     # second static-shape bucket: whole-image 1024px (arbitrary sonar
@@ -110,6 +116,11 @@ def main():
     # predictor-level numbers live in artifacts/tiled_strips
     results["kdlae_t_1024_denoise_bf16_scan2"] = teacher(
         "test", jnp.bfloat16, scan=2, size=1024)
+    # strips are the strongest tiling story at 1024 (1.65x vs whole —
+    # artifacts/tiled_strips/bench_protocol.json): 4 strips per image,
+    # 2 images' worth per b8 dispatch
+    results["kdlae_t_1024_denoise_bf16_strip256x1024_b8"] = teacher(
+        "test", jnp.bfloat16, batch=8, size=(256, 1024)) / 2.0
     results["kdlae_t_512_denoise_fp32"] = teacher("test", jnp.float32)
     results["kdlae_t_512_denoise_sr_bf16"] = teacher("train", jnp.bfloat16)
     results["kdlae_t_512_denoise_sr_bf16_scan8"] = teacher(
@@ -130,6 +141,16 @@ def main():
         dt = timed(fn, (p, x))
         results[f"kdlae_s_256_b32_{tag}_stacks_per_s"] = 32 / dt
         results[f"kdlae_s_256_b32_{tag}_frames_per_s"] = 32 * 7 / dt
+    # batch 128: the conv3d program carries a large batch-independent
+    # cost — per-frame time falls 555 -> 119 us from b32 to b128
+    # (artifacts/roofline_r5/roofline.json); denoise_all_frames rides
+    # this via stack_batch
+    p = jax.tree.map(lambda v: v.astype(jnp.bfloat16), s_params)
+    x = jnp.asarray(rng.random((128, 7, 256, 256)), jnp.bfloat16)
+    fn = jax.jit(lambda p, x: jnp.clip(sm.apply({"params": p}, x),
+                                       0, 1).mean())
+    dt = timed(fn, (p, x))
+    results["kdlae_s_256_b128_bf16_frames_per_s"] = 128 * 7 / dt
 
     # ---- end-to-end host serving: pad + H2D + dispatch + uint8 D2H + mask
     # (what `raie infer-teacher`/`raie serve` actually pay per image on a

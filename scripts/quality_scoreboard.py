@@ -47,7 +47,9 @@ def _psnr_ssim(a: np.ndarray, b: np.ndarray) -> tuple[float, float]:
             float(calculate_ssim(a, b, crop_border=0)))
 
 
-def teacher_board(tmp: str) -> dict:
+def teacher_board(tmp: str, weights: str | None = None,
+                  out_name: str = "MDD_teacher",
+                  denoise_rate: float = 1.0) -> dict:
     import cv2
 
     from rethink_acoustic_image_enhancement_tpu.eval.infer import (
@@ -58,14 +60,15 @@ def teacher_board(tmp: str) -> dict:
         load_weights,
     )
 
-    weights = os.path.join(REPO, "artifacts/kdlaet_full50k/weights/"
-                                 "net_g_50000_bf16")
+    if weights is None:
+        weights = os.path.join(REPO, "artifacts/kdlaet_full50k/weights/"
+                                     "net_g_50000_bf16")
     import jax.numpy as jnp
 
     pred = TeacherPredictor(params=load_weights(weights),
                             model=flagship_teacher(static="train"),
                             dtype=jnp.bfloat16)
-    out_dir = os.path.join(tmp, "MDD_teacher")
+    out_dir = os.path.join(tmp, out_name)
     os.makedirs(out_dir, exist_ok=True)
     origin = os.path.join(SAMPLE, "MDD/origin")
     golden = os.path.join(SAMPLE, "MDD/denoise/KDLAE-T")
@@ -73,7 +76,7 @@ def teacher_board(tmp: str) -> dict:
     for name in sorted(os.listdir(origin)):
         t0 = time.time()
         out = pred.denoise_file(os.path.join(origin, name),
-                                denoise_rate=1.0)["hq"]
+                                denoise_rate=denoise_rate)["hq"]
         g = cv2.cvtColor(cv2.imread(os.path.join(golden, name)),
                          cv2.COLOR_BGR2RGB)
         o = cv2.cvtColor(cv2.imread(os.path.join(origin, name)),
@@ -154,7 +157,8 @@ def student_board(tmp: str, dataset: str) -> dict:
             "origin_baseline_mean_ssim": mean("ssim", base_rows)}
 
 
-def asdqe_board(tmp: str, teacher_out: str, student_outs: dict) -> dict:
+def asdqe_board(tmp: str, teacher_out: str, student_outs: dict,
+                extra_mdd_methods: dict | None = None) -> dict:
     from rethink_acoustic_image_enhancement_tpu.eval.asdqe_eval import (
         run_asdqe_eval,
     )
@@ -178,6 +182,7 @@ def asdqe_board(tmp: str, teacher_out: str, student_outs: dict) -> dict:
         }
         if dataset == "MDD":
             methods["ours_teacher"] = teacher_out
+            methods.update(extra_mdd_methods or {})
         csv = os.path.join(tmp, f"stats_{dataset}.csv")
         boards[dataset] = run_asdqe_eval(scorer, origin, methods,
                                          csv_path=csv, verbose=True)
@@ -203,12 +208,31 @@ def main():
                  "asdqe": "ASDQE_test.py:107-133 stats with the in-repo "
                           "trained scorer"}}
     board["teacher_mdd"] = teacher_board(args.tmp)
+    # L2-Dice teacher variant (reference README.md:107 KDLAE_T_L2Dice.pth;
+    # served at denoise_rate 0.6 per KDLAE_T.ipynb cell 5 commentary).
+    # PSNR context row at rate 1.0 vs the L1-Shadow-teacher goldens; the
+    # 0.6 preset gets its own ASDQE stats column below.
+    l2dice = os.path.join(REPO, "artifacts/kdlaet_l2dice50k/weights/"
+                                "net_g_50000_bf16")
+    extra_methods = {}
+    if os.path.isdir(l2dice):
+        board["teacher_mdd_l2dice"] = teacher_board(
+            args.tmp, weights=l2dice, out_name="MDD_teacher_l2dice")
+        board["teacher_mdd_l2dice_rate06"] = teacher_board(
+            args.tmp, weights=l2dice, out_name="MDD_teacher_l2dice_rate06",
+            denoise_rate=0.6)
+        extra_methods = {
+            "ours_teacher_l2dice":
+                board["teacher_mdd_l2dice"]["out_dir"],
+            "ours_teacher_l2dice_rate06":
+                board["teacher_mdd_l2dice_rate06"]["out_dir"]}
     board["student_camus"] = student_board(args.tmp, "CAMUS")
     board["student_mdd"] = student_board(args.tmp, "MDD")
     board["asdqe_stats"] = asdqe_board(
         args.tmp, board["teacher_mdd"]["out_dir"],
         {"CAMUS": board["student_camus"]["out_dir"],
-         "MDD": board["student_mdd"]["out_dir"]})
+         "MDD": board["student_mdd"]["out_dir"]},
+        extra_mdd_methods=extra_methods)
     with open(args.out, "w") as f:
         json.dump(board, f, indent=1)
     print(f"wrote {args.out}")
