@@ -149,11 +149,46 @@ def _load_params_any(path: str, arch: str, param_key: str):
     return load_weights(path, param_key)
 
 
+# In-repo model-zoo aliases for --weights (the reference's released-weight
+# presets, README.md:103-110 / KDLAE-S.ipynb cell 2 US-vs-FLS split).
+# Values: (repo-relative weights dir, default denoise_rate or None).
+_ZOO = {
+    "teacher": ("artifacts/kdlaet_full50k/weights/net_g_50000_bf16", 1.0),
+    # the paper's L2-Dice teacher variant is served at denoise_rate 0.6
+    # (KDLAE_T.ipynb cell 5 commentary; reference weight KDLAE_T_L2Dice.pth)
+    "teacher-l2dice": ("artifacts/kdlaet_l2dice50k/weights/"
+                       "net_g_50000_bf16", 0.6),
+    "student-us": ("artifacts/kdlaes_full100k/weights/net_g_100000", None),
+    "student-fls": ("artifacts/kdlaes_fls100k/weights/net_g_100000", None),
+}
+
+
+def _resolve_weights(spec: str) -> tuple[str, float | None]:
+    """Map a zoo alias to its in-repo weights dir (+ serving preset);
+    pass real paths through untouched."""
+    if spec not in _ZOO:
+        return spec, None
+    rel, rate = _ZOO[spec]
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), rel)
+    if not os.path.isdir(path):
+        raise SystemExit(f"zoo alias '{spec}' resolves to {path}, which is "
+                         "absent in this checkout — pass an explicit "
+                         "--weights path instead")
+    return path, rate
+
+
 def _cmd_infer_teacher(args) -> int:
     from .eval.infer import TeacherPredictor
     from .utils.image_io import imwrite, list_images
 
-    params = _load_params_any(args.weights, "KDLAE_teacher", args.param_key)
+    weights, preset_rate = _resolve_weights(args.weights)
+    if args.denoise_rate is None:
+        args.denoise_rate = preset_rate if preset_rate is not None else 1.0
+        if preset_rate is not None and preset_rate != 1.0:
+            print(f"[zoo] '{args.weights}' preset denoise_rate "
+                  f"{preset_rate} (override with --denoise-rate)")
+    params = _load_params_any(weights, "KDLAE_teacher", args.param_key)
     from .models import KDLAETeacher
 
     model = KDLAETeacher(layernorm_type=args.layernorm_type,
@@ -332,7 +367,10 @@ def _cmd_serve(args) -> int:
                   "— refusing to start (see `raie doctor`)", file=sys.stderr)
             return EXIT_BACKEND_DOWN
 
-    params = _load_params_any(args.weights, "KDLAE_teacher", args.param_key)
+    weights, preset_rate = _resolve_weights(args.weights)
+    if args.denoise_rate is None:
+        args.denoise_rate = preset_rate if preset_rate is not None else 1.0
+    params = _load_params_any(weights, "KDLAE_teacher", args.param_key)
     model = KDLAETeacher(layernorm_type=args.layernorm_type,
                          static="train" if args.sr else "test", params="cat")
     pred = TeacherPredictor(params=params, model=model,
@@ -436,7 +474,8 @@ def _cmd_infer_student(args) -> int:
     from .eval.infer import StudentPredictor
     from .utils.image_io import imwrite
 
-    params = _load_params_any(args.weights, "KDLAE_student", args.param_key)
+    weights, _ = _resolve_weights(args.weights)
+    params = _load_params_any(weights, "KDLAE_student", args.param_key)
     pred = StudentPredictor(params=params, num_frames=args.frames)
     if args.all:
         out = pred.denoise_all_frames(args.input)
@@ -615,10 +654,15 @@ def main(argv=None) -> int:
     p.set_defaults(fn=_cmd_test)
 
     p = sub.add_parser("infer-teacher", help="KDLAE-T whole-image denoise")
-    p.add_argument("--weights", required=True)
+    p.add_argument("--weights", required=True,
+                   help="checkpoint path, or a zoo alias: "
+                        + " / ".join(k for k in _ZOO if "teacher" in k))
     p.add_argument("--input", required=True, help="image file or folder")
     p.add_argument("--output", required=True)
-    p.add_argument("--denoise-rate", type=float, default=1.0)
+    p.add_argument("--denoise-rate", type=float, default=None,
+                   help="conditioning strength (default 1.0; the "
+                        "teacher-l2dice zoo alias presets 0.6 per the "
+                        "reference notebook)")
     p.add_argument("--sr", action="store_true", help="also emit the 2x output")
     p.add_argument("--layernorm-type", default="BiasFree")
     p.add_argument("--param-key", default="params")
@@ -643,10 +687,12 @@ def main(argv=None) -> int:
     p.set_defaults(fn=_cmd_infer_teacher)
 
     p = sub.add_parser("serve", help="watch-folder serving daemon")
-    p.add_argument("--weights", required=True)
+    p.add_argument("--weights", required=True,
+                   help="checkpoint path, or a zoo alias: "
+                        + " / ".join(k for k in _ZOO if "teacher" in k))
     p.add_argument("--watch", required=True, help="input folder to poll")
     p.add_argument("--output", required=True)
-    p.add_argument("--denoise-rate", type=float, default=1.0)
+    p.add_argument("--denoise-rate", type=float, default=None)
     p.add_argument("--sr", action="store_true")
     p.add_argument("--layernorm-type", default="BiasFree")
     p.add_argument("--param-key", default="params")
@@ -666,7 +712,9 @@ def main(argv=None) -> int:
     p.set_defaults(fn=_cmd_serve)
 
     p = sub.add_parser("infer-student", help="KDLAE-S multi-frame denoise")
-    p.add_argument("--weights", required=True)
+    p.add_argument("--weights", required=True,
+                   help="checkpoint path, or a zoo alias: "
+                        + " / ".join(k for k in _ZOO if "student" in k))
     p.add_argument("--input", required=True, help="frame folder")
     p.add_argument("--output", required=True)
     p.add_argument("--frames", type=int, default=7)

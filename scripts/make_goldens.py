@@ -63,6 +63,40 @@ def make_teacher_goldens() -> None:
     print(f"wrote teacher crop goldens to {T_OUT}")
 
 
+L2D_WEIGHTS = os.path.join(
+    REPO, "artifacts/kdlaet_l2dice50k/weights/net_g_50000_bf16")
+L2D_OUT = os.path.join(REPO, "artifacts/kdlaet_l2dice50k/goldens")
+
+
+def make_l2dice_goldens() -> None:
+    """MDD crop goldens of the L2-Dice teacher variant (the reference's
+    released KDLAE_T_L2Dice.pth, README.md:107) at both rate 1.0 and the
+    notebook's 0.6 serving preset (KDLAE_T.ipynb cell 5 commentary)."""
+    import cv2
+
+    from rethink_acoustic_image_enhancement_tpu.eval.infer import (
+        TeacherPredictor,
+    )
+    from rethink_acoustic_image_enhancement_tpu.models import (
+        flagship_teacher,
+    )
+    from rethink_acoustic_image_enhancement_tpu.train.checkpoints import (
+        load_weights,
+    )
+
+    pred = TeacherPredictor(params=load_weights(L2D_WEIGHTS),
+                            model=flagship_teacher(static="train"))
+    img = cv2.imread("/root/reference/Sample/MDD/origin/0001_sort.jpg")
+    crop = cv2.cvtColor(img[100:196, 200:328], cv2.COLOR_BGR2RGB)
+    os.makedirs(L2D_OUT, exist_ok=True)
+    for rate, tag in ((1.0, "r10"), (0.6, "r06")):
+        out = pred(crop, denoise_rate=rate, zero_mask=False)
+        for key in ("hq", "sr"):
+            cv2.imwrite(os.path.join(L2D_OUT, f"mdd_crop_{tag}_{key}.png"),
+                        cv2.cvtColor(out[key], cv2.COLOR_RGB2BGR))
+    print(f"wrote L2-Dice teacher crop goldens to {L2D_OUT}")
+
+
 FLS_WEIGHTS = os.path.join(
     REPO, "artifacts/kdlaes_fls100k/weights/net_g_100000")
 FLS_OUT = os.path.join(REPO, "artifacts/kdlaes_fls100k/goldens")
@@ -116,6 +150,8 @@ def main() -> None:
     print(f"wrote {out.shape[0]} goldens to {OUT}")
     if os.path.isdir(T_WEIGHTS):
         make_teacher_goldens()
+    if os.path.isdir(L2D_WEIGHTS):
+        make_l2dice_goldens()
     if os.path.isdir(FLS_WEIGHTS):
         make_fls_goldens()
 

@@ -278,3 +278,35 @@ def test_train_cli_builds_data_parallel_mesh(tmp_path, capsys):
         _os.chdir(cwd)
     outp = capsys.readouterr().out
     assert "data-parallel mesh over 8 devices" in outp
+
+
+def test_zoo_alias_resolution():
+    """--weights zoo aliases resolve to in-repo artifact dirs; the
+    teacher-l2dice alias carries the reference notebook's denoise_rate
+    0.6 serving preset (KDLAE_T.ipynb cell 5); unknown specs pass
+    through as paths."""
+    import pytest
+
+    from rethink_acoustic_image_enhancement_tpu.cli import _resolve_weights
+
+    path, rate = _resolve_weights("teacher")
+    assert os.path.isdir(path) and rate == 1.0
+
+    path, rate = _resolve_weights("student-us")
+    assert os.path.isdir(path) and rate is None
+
+    # real paths untouched
+    assert _resolve_weights("/some/where.pth") == ("/some/where.pth", None)
+
+    # aliases whose artifact is absent fail with a pointed error,
+    # never a silent fall-through to a bogus path
+    from rethink_acoustic_image_enhancement_tpu import cli as _cli
+
+    if not os.path.isdir(os.path.join(
+            os.path.dirname(os.path.dirname(_cli.__file__)),
+            _cli._ZOO["teacher-l2dice"][0])):
+        with pytest.raises(SystemExit, match="zoo alias"):
+            _resolve_weights("teacher-l2dice")
+    else:
+        path, rate = _resolve_weights("teacher-l2dice")
+        assert rate == 0.6

@@ -238,3 +238,51 @@ def test_trained_asdqe_scorer_recovers_denoise_rate():
         assert np.allclose(scores, golden_row, atol=2e-3), (name, scores)
         assert all(b > a for a, b in zip(scores, scores[1:])), (name, scores)
         assert np.max(np.abs(np.asarray(scores) - np.asarray(lams))) < 0.08
+
+
+L2D_WEIGHTS = os.path.join(
+    REPO, "artifacts/kdlaet_l2dice50k/weights/net_g_50000_bf16")
+L2D_GOLDENS = os.path.join(REPO, "artifacts/kdlaet_l2dice50k/goldens")
+
+
+@requires_reference
+@pytest.mark.skipif(
+    not (os.path.isdir(L2D_WEIGHTS)
+         and os.environ.get("RAIE_SLOW_GOLDENS")),
+    reason="L2-Dice teacher golden forward takes minutes on CPU; set "
+           "RAIE_SLOW_GOLDENS=1 (regenerate via scripts/make_goldens.py)")
+def test_trained_l2dice_teacher_matches_shipped_goldens():
+    """The L2-Dice teacher variant (reference README.md:107
+    KDLAE_T_L2Dice.pth analog; fine-tuned with losses/pixel.py:l2_dice
+    on the full 50k reference curriculum) reproduces its committed crop
+    goldens at BOTH serving rates, and the denoise_rate conditioning is
+    live (rate 0.6 output differs from rate 1.0)."""
+    import cv2
+
+    from rethink_acoustic_image_enhancement_tpu.eval.infer import (
+        TeacherPredictor,
+    )
+    from rethink_acoustic_image_enhancement_tpu.models import (
+        flagship_teacher,
+    )
+    from rethink_acoustic_image_enhancement_tpu.train.checkpoints import (
+        load_weights,
+    )
+
+    pred = TeacherPredictor(params=load_weights(L2D_WEIGHTS),
+                            model=flagship_teacher(static="train"))
+    img = cv2.imread("/root/reference/Sample/MDD/origin/0001_sort.jpg")
+    crop = cv2.cvtColor(img[100:196, 200:328], cv2.COLOR_BGR2RGB)
+    outs = {}
+    for rate, tag in ((1.0, "r10"), (0.6, "r06")):
+        out = pred(crop, denoise_rate=rate, zero_mask=False)
+        outs[tag] = out
+        for key in ("hq", "sr"):
+            golden = cv2.cvtColor(cv2.imread(os.path.join(
+                L2D_GOLDENS, f"mdd_crop_{tag}_{key}.png")),
+                cv2.COLOR_BGR2RGB)
+            diff = np.abs(out[key].astype(np.int16)
+                          - golden.astype(np.int16))
+            assert diff.max() <= 1 and (diff == 0).mean() > 0.999, (tag, key)
+    assert np.abs(outs["r10"]["hq"].astype(np.int16)
+                  - outs["r06"]["hq"].astype(np.int16)).max() > 1
