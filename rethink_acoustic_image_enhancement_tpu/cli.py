@@ -159,7 +159,10 @@ _ZOO = {
     "teacher-l2dice": ("artifacts/kdlaet_l2dice50k/weights/"
                        "net_g_50000_bf16", 0.6),
     "student-us": ("artifacts/kdlaes_full100k/weights/net_g_100000", None),
-    "student-fls": ("artifacts/kdlaes_fls100k/weights/net_g_100000", None),
+    # round-5 serving-aligned prob-0.05 fine-tune: 36.8 dB vs the
+    # reference KDLAE-S_prob@0.05 goldens (was 26.2 with the raw 100k
+    # high-prob weights — artifacts/kdlaes_flsft5k/posthoc_val.json)
+    "student-fls": ("artifacts/kdlaes_flsft5k/weights/net_g_5000", None),
 }
 
 

@@ -98,8 +98,8 @@ def make_l2dice_goldens() -> None:
 
 
 FLS_WEIGHTS = os.path.join(
-    REPO, "artifacts/kdlaes_fls100k/weights/net_g_100000")
-FLS_OUT = os.path.join(REPO, "artifacts/kdlaes_fls100k/goldens")
+    REPO, "artifacts/kdlaes_flsft5k/weights/net_g_5000")
+FLS_OUT = os.path.join(REPO, "artifacts/kdlaes_flsft5k/goldens")
 FLS_FRAMES = "/root/reference/Sample/MDD/origin"
 
 

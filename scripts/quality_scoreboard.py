@@ -117,7 +117,7 @@ def student_board(tmp: str, dataset: str) -> dict:
                            "artifacts/kdlaes_full100k/weights/net_g_100000")
     if dataset == "MDD":
         fls = os.path.join(REPO,
-                           "artifacts/kdlaes_fls100k/weights/net_g_100000")
+                           "artifacts/kdlaes_flsft5k/weights/net_g_5000")
         if os.path.isdir(fls):
             weights = fls
     pred = StudentPredictor(

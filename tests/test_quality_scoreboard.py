@@ -56,12 +56,14 @@ def test_student_beats_origin_on_camus_goldens(board):
 def test_student_mdd_fls_beats_origin(board):
     """MDD (sonar) is served by the FLS student — the rebuild's analog
     of the reference's separate KDLAE-S-FLS weights (KDLAE-S.ipynb
-    cell 2 presets), distilled on the MDD corpus (full 100k budget,
-    artifacts/kdlaes_fls100k). Measured 2026-08-19: 26.2 dB vs the
-    KDLAE-S_prob@0.05 goldens (origin baseline 18.3)."""
+    cell 2 presets), distilled on the MDD corpus (100k budget +
+    serving-aligned prob-0.05 fine-tune, artifacts/kdlaes_flsft5k).
+    Measured 2026-08-20: 36.8 dB vs the KDLAE-S_prob@0.05 goldens
+    (origin baseline 18.3; 26.2 before the fine-tune)."""
     s = board["student_mdd"]
     assert "fls" in s["weights"], s["weights"]
-    assert s["mean_psnr"] >= s["origin_baseline_mean_psnr"] + 5.0
+    assert s["mean_psnr"] >= 33.0, s["mean_psnr"]
+    assert s["mean_psnr"] >= s["origin_baseline_mean_psnr"] + 10.0
 
 
 def test_asdqe_protocol_orders_methods(board):

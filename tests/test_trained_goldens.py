@@ -131,8 +131,8 @@ def test_trained_student_matches_reference_released_goldens(student_outputs):
 
 
 FLS_WEIGHTS = os.path.join(REPO,
-                           "artifacts/kdlaes_fls100k/weights/net_g_100000")
-FLS_GOLDENS = os.path.join(REPO, "artifacts/kdlaes_fls100k/goldens")
+                           "artifacts/kdlaes_flsft5k/weights/net_g_5000")
+FLS_GOLDENS = os.path.join(REPO, "artifacts/kdlaes_flsft5k/goldens")
 
 
 @requires_reference
